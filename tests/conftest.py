@@ -1,0 +1,31 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so that every sharded code path
+(observation-axis data parallelism, distributed LM reductions) is exercised
+without TPU pod hardware — the JAX analog of the reference's synthetic-scene
+substitution for hardware fixtures (see /root/reference/tests/conftest.py).
+
+Must set env vars BEFORE jax is imported anywhere.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Force CPU + x64 for tests even when the ambient environment selects a TPU
+# platform plugin (which overrides JAX_PLATFORMS at import time). Override
+# with CALISCOPE_TPU_TEST_PLATFORM=tpu for on-device runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("CALISCOPE_TPU_TEST_PLATFORM", "cpu"))
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
