@@ -1,0 +1,80 @@
+"""Canonical synthetic scenes used across the test suite.
+
+Parity: reference src/caliscope/synthetic/scene_factories.py:21-47
+(default_ring_scene: 4-camera ring r=2m, 5x7 grid board, 20-frame orbital
+trajectory) plus sparse-coverage / static-marker / narrow-baseline variants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from caliscope_tpu.synthetic.calibration_object import CalibrationObject
+from caliscope_tpu.synthetic.camera_synthesizer import CameraSynthesizer, LensProfile
+from caliscope_tpu.synthetic.scene import SyntheticScene
+from caliscope_tpu.synthetic.trajectory import Trajectory
+
+
+def default_ring_scene(
+    n_cameras: int = 4,
+    n_frames: int = 20,
+    noise_sigma_px: float = 0.5,
+    rows: int = 5,
+    cols: int = 7,
+    square_size: float = 0.054,
+    seed: int = 42,
+) -> SyntheticScene:
+    """4-camera ring (r=2 m) watching a 5x7 corner grid on a 20-frame orbit."""
+    cameras = CameraSynthesizer(LensProfile.webcam()).add_ring(n_cameras, radius=2.0, height=0.8).build()
+    board = CalibrationObject.planar_grid(object_id=0, rows=rows, cols=cols, spacing=square_size)
+    traj = Trajectory.orbital(n_frames, radius=0.45, height_amplitude=0.25, tilt_amplitude=0.5)
+    return SyntheticScene(cameras, [board], [traj], noise_sigma_px=noise_sigma_px, seed=seed)
+
+
+def ring_with_static_markers(
+    n_cameras: int = 4,
+    n_frames: int = 20,
+    n_static_markers: int = 3,
+    marker_size: float = 0.1,
+    noise_sigma_px: float = 0.5,
+    seed: int = 42,
+) -> SyntheticScene:
+    """Ring scene plus static square markers fixed in the volume (exercises
+    STATIC_SYNC_INDEX triangulation and static rigidity constraints)."""
+    scene = default_ring_scene(n_cameras, n_frames, noise_sigma_px, seed=seed)
+    objects = list(scene.objects)
+    trajectories = list(scene.trajectories)
+    rng = np.random.default_rng(seed + 1)
+    half = marker_size / 2
+    square = np.array([[-half, -half, 0], [half, -half, 0], [half, half, 0], [-half, half, 0]])
+    for m in range(n_static_markers):
+        pos = rng.uniform([-0.6, -0.6, 0.2], [0.6, 0.6, 1.0])
+        from caliscope_tpu.synthetic.se3 import SE3Pose
+
+        pose = SE3Pose.from_axis_angle(rng.normal(size=3), rng.uniform(0, np.pi / 4), pos)
+        objects.append(CalibrationObject.from_points(object_id=100 + m, points=square, static=True))
+        trajectories.append(Trajectory.stationary(n_frames, pose))
+    return SyntheticScene(scene.cameras, objects, trajectories, noise_sigma_px=noise_sigma_px, seed=seed)
+
+
+def narrow_baseline_scene(n_frames: int = 20, separation_deg: float = 8.0, **kw) -> SyntheticScene:
+    """Two nearly co-located cameras — ill-conditioned triangulation."""
+    sep = np.deg2rad(separation_deg)
+    cameras = (
+        CameraSynthesizer(LensProfile.webcam())
+        .add_camera_at([2.0 * np.cos(0), 2.0 * np.sin(0), 0.8])
+        .add_camera_at([2.0 * np.cos(sep), 2.0 * np.sin(sep), 0.8])
+        .build()
+    )
+    board = CalibrationObject.planar_grid(object_id=0, rows=5, cols=7, spacing=0.054)
+    traj = Trajectory.orbital(n_frames, radius=0.4)
+    return SyntheticScene(cameras, [board], [traj], **kw)
+
+
+def sparse_coverage_scene(n_cameras: int = 6, n_frames: int = 30, **kw) -> SyntheticScene:
+    """Wider ring + smaller orbit: distant camera pairs share few or no
+    observations, forcing transitive pose chaining."""
+    cameras = CameraSynthesizer(LensProfile.machine_vision()).add_ring(n_cameras, radius=2.5, height=0.7).build()
+    board = CalibrationObject.planar_grid(object_id=0, rows=4, cols=6, spacing=0.06)
+    traj = Trajectory.orbital(n_frames, radius=0.9, height_amplitude=0.2, tilt_amplitude=0.6)
+    return SyntheticScene(cameras, [board], [traj], **kw)
