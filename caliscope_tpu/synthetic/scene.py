@@ -29,6 +29,10 @@ class SyntheticScene:
     noise_sigma_px: float = 0.5
     seed: int = 42
     margin_px: float = 5.0
+    # When True, planar objects are one-sided: a point is visible only when
+    # the object's local +z normal faces the camera (realistic for printed
+    # boards; grazing angles beyond ~80 deg are also culled).
+    cull_backfaces: bool = False
 
     def __post_init__(self):
         if len(self.objects) != len(self.trajectories):
@@ -85,6 +89,12 @@ class SyntheticScene:
                         (uv[:, 0] >= m) & (uv[:, 0] <= w - m) & (uv[:, 1] >= m) & (uv[:, 1] <= h - m)
                     )
                     vis = in_front & in_frame
+                    if self.cull_backfaces:
+                        normal_w = traj[s].rotation @ np.array([0.0, 0.0, 1.0])
+                        cam_center = -cam.rotation.T @ cam.translation
+                        to_cam = cam_center - Xw
+                        cosang = (to_cam @ normal_w) / np.maximum(np.linalg.norm(to_cam, axis=1), 1e-9)
+                        vis &= cosang > np.cos(np.deg2rad(80.0))
                     for k in np.where(vis)[0]:
                         rows_sync.append(s)
                         rows_cam.append(int(cid))
