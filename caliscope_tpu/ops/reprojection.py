@@ -1,0 +1,179 @@
+"""Reprojection residuals + per-observation Jacobian blocks.
+
+Parity: reference src/caliscope/core/reprojection.py (project_points:18,
+reprojection_errors:35, joint_residuals:75, joint_jacobian:128). The reference
+assembles a scipy COO/CSR sparse Jacobian from cv2.projectPoints' returned
+Jacobians; here every observation's residual derives from ONE differentiable
+projection and its Jacobian blocks come from `jax.jacfwd` vmapped over the
+observation axis — there is no general sparse matrix anywhere, only
+(N, 2, 9) camera blocks + (N, 2, 3) point blocks consumed by segment-sum
+normal-equation products (see solvers/bundle.py).
+
+Camera parameter block layout (reference bundle_parameterization.py:37-136):
+    cam9 = [rvec(3), tvec(3), s, k1, k2]
+with fx = s * fx_init, fy = s * fy_init and [k1, k2] replacing the first two
+distortion coefficients; remaining coefficients stay at their initial values.
+Residuals are pixel errors scaled by 1/fx_init per camera so every camera
+contributes in comparable normalized units (reference reprojection.py:75-110).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from caliscope_tpu.ops.projection import project_points
+
+N_CAM_PARAMS = 9  # 6 extrinsic + [s, k1, k2]
+
+
+def camera_matrices_from_block(cam9, K0):
+    """cam9 (..., 9) + initial K0 (..., 3, 3) -> effective K (..., 3, 3)."""
+    s = cam9[..., 6]
+    K = K0 * 1.0
+    K = K.at[..., 0, 0].set(K0[..., 0, 0] * s)
+    K = K.at[..., 1, 1].set(K0[..., 1, 1] * s)
+    return K
+
+
+def effective_distortions(cam9, dist0):
+    """Replace the first two coefficients with the free [k1, k2]."""
+    d = dist0 * 1.0
+    d = d.at[..., 0].set(cam9[..., 7])
+    d = d.at[..., 1].set(cam9[..., 8])
+    return d
+
+
+def project_with_block(X, cam9, K0, dist0, fisheye_flag):
+    """Project world point(s) X through the 9-parameter camera block.
+
+    fisheye_flag is a traced bool array — both camera models are evaluated
+    (cheap elementwise work) and selected, so mixed rigs batch in one call.
+    """
+    rvec = cam9[..., 0:3]
+    tvec = cam9[..., 3:6]
+    K = camera_matrices_from_block(cam9, K0)
+    dist = effective_distortions(cam9, dist0)
+    uv_brown = project_points(X, rvec, tvec, K, dist, False)
+    uv_fish = project_points(X, rvec, tvec, K, dist[..., :4], True)
+    return jnp.where(fisheye_flag[..., None], uv_fish, uv_brown)
+
+
+def _obs_residual(cam9, X, uv, K0, dist0, fisheye_flag, inv_fx):
+    """Single-observation normalized residual (2,)."""
+    uv_hat = project_with_block(X, cam9, K0, dist0, fisheye_flag)
+    return (uv_hat - uv) * inv_fx
+
+
+def observation_residuals(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, dist0_all, fisheye_all, inv_fx_all):
+    """Residuals for all observations: (N, 2) in 1/fx_init-normalized units."""
+    cam9 = cam9_all[cam_idx]
+    X = X_all[pt_idx]
+    uv_hat = project_with_block(X, cam9, K0_all[cam_idx], dist0_all[cam_idx], fisheye_all[cam_idx])
+    return (uv_hat - uv) * inv_fx_all[cam_idx][:, None]
+
+
+def observation_jacobian_blocks(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, dist0_all, fisheye_all, inv_fx_all):
+    """Per-observation Jacobian blocks of the normalized residual.
+
+    Returns (r (N,2), Jc (N,2,9), Jp (N,2,3)) — forward-mode through the
+    single projection function, vmapped over observations. This replaces the
+    reference's cv2-Jacobian + chain-rule + COO assembly
+    (reference reprojection.py:128-233) with a dense-blocks representation
+    that maps directly onto segment-sum normal equations.
+    """
+
+    def one(cam9, X, uv_i, K0, dist0, fe, ifx):
+        f = lambda c, x: _obs_residual(c, x, uv_i, K0, dist0, fe, ifx)
+        r = f(cam9, X)
+        Jc = jax.jacfwd(f, argnums=0)(cam9, X)
+        Jp = jax.jacfwd(f, argnums=1)(cam9, X)
+        return r, Jc, Jp
+
+    return jax.vmap(one)(
+        cam9_all[cam_idx],
+        X_all[pt_idx],
+        uv,
+        K0_all[cam_idx],
+        dist0_all[cam_idx],
+        fisheye_all[cam_idx],
+        inv_fx_all[cam_idx],
+    )
+
+
+def reprojection_errors(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, dist0_all, fisheye_all):
+    """Per-observation PIXEL-space errors (N, 2) for reports
+    (reference reprojection.py:35-72)."""
+    cam9 = cam9_all[cam_idx]
+    uv_hat = project_with_block(X_all[pt_idx], cam9, K0_all[cam_idx], dist0_all[cam_idx], fisheye_all[cam_idx])
+    return uv_hat - uv
+
+
+# ---------------------------------------------------------------------------
+# Distance-constraint residuals (board-rigidity rows)
+# ---------------------------------------------------------------------------
+
+
+def constraint_residuals(X_all, pa_idx, pa_w, pb_idx, pb_w, target, weight):
+    """Distance-constraint rows (reference reprojection.py:112-119).
+
+    Each endpoint is a weighted mean of up to 4 world points (single corners
+    use one unit weight; centroid endpoints use 4 x 0.25 — the reference's
+    width-4 row groups). Padded slots carry zero weight.
+
+    Args:
+        X_all:  (P, 3) world points.
+        pa_idx/pb_idx: (Q, 4) point indices per endpoint.
+        pa_w/pb_w:     (Q, 4) endpoint weights (sum to 1 per row).
+        target: (Q,) measured distances (meters).
+        weight: (Q,) residual weights (1/sigma in solver units).
+
+    Returns (Q,) residuals weight * (||pa - pb|| - target).
+    """
+    pa = jnp.einsum("qk,qkj->qj", pa_w, X_all[pa_idx])
+    pb = jnp.einsum("qk,qkj->qj", pb_w, X_all[pb_idx])
+    d = jnp.sqrt(jnp.maximum(jnp.sum((pa - pb) ** 2, axis=-1), 1e-18))
+    return (d - target) * weight
+
+
+def constraint_jacobian_blocks(X_all, pa_idx, pa_w, pb_idx, pb_w, target, weight):
+    """Analytic constraint Jacobian blocks.
+
+    d r / d pa = weight * (pa - pb)/||pa - pb||, chained by the endpoint
+    weights to each participating point. Returns (r (Q,), idx (Q, 8),
+    J (Q, 8, 3)) where the 8 slots are [4 x endpoint A, 4 x endpoint B].
+    """
+    pa = jnp.einsum("qk,qkj->qj", pa_w, X_all[pa_idx])
+    pb = jnp.einsum("qk,qkj->qj", pb_w, X_all[pb_idx])
+    diff = pa - pb
+    d = jnp.sqrt(jnp.maximum(jnp.sum(diff**2, axis=-1), 1e-18))
+    r = (d - target) * weight
+    u = diff / d[:, None]  # (Q,3) unit direction
+    Ja = weight[:, None, None] * pa_w[:, :, None] * u[:, None, :]  # (Q,4,3)
+    Jb = -weight[:, None, None] * pb_w[:, :, None] * u[:, None, :]
+    idx = jnp.concatenate([pa_idx, pb_idx], axis=1)  # (Q,8)
+    J = jnp.concatenate([Ja, Jb], axis=1)  # (Q,8,3)
+    return r, idx, J
+
+
+# ---------------------------------------------------------------------------
+# Robust loss (IRLS weights, scipy least_squares-compatible)
+# ---------------------------------------------------------------------------
+
+
+def robust_weights_and_cost(r2_elements, loss: str, f_scale: float):
+    """Per-element IRLS weights and total robust cost.
+
+    scipy convention: cost = 0.5 * f_scale^2 * sum(rho(r^2 / f_scale^2));
+    GN reweighting uses rho'(z). loss='linear' or 'soft_l1'
+    (reference capture_volume.py:387-411 uses exactly these two).
+    """
+    if loss == "linear":
+        return jnp.ones_like(r2_elements), 0.5 * jnp.sum(r2_elements)
+    if loss == "soft_l1":
+        z = r2_elements / (f_scale**2)
+        rho = 2.0 * (jnp.sqrt(1.0 + z) - 1.0)
+        w = 1.0 / jnp.sqrt(1.0 + z)  # rho'(z)
+        cost = 0.5 * (f_scale**2) * jnp.sum(rho)
+        return w, cost
+    raise ValueError(f"Unknown loss: {loss}")

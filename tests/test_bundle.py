@@ -1,0 +1,228 @@
+"""Bundle adjustment solver tests.
+
+Mirrors the reference's BA test strategy: analytic-vs-numeric Jacobian parity
+(/root/reference/tests/synthetic/test_analytic_jacobian.py), convergence on
+synthetic ground truth, robust-loss outlier behavior
+(/root/reference/tests/synthetic/test_outlier_robustness.py), dense-vs-CG
+solver agreement (TPU-specific: both linear solvers must reach one optimum).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from caliscope_tpu.ops.reprojection import (
+    constraint_jacobian_blocks,
+    constraint_residuals,
+    observation_jacobian_blocks,
+    observation_residuals,
+    reprojection_errors,
+)
+from caliscope_tpu.solvers.bundle import (
+    BAConfig,
+    initial_cam9,
+    lm_solve,
+    make_problem,
+)
+from caliscope_tpu.synthetic.factories import default_ring_scene
+from caliscope_tpu.synthetic.faults import inject_outliers
+
+
+def _scene_problem(noise=0.5, seed=42, n_frames=10, **make_kw):
+    scene = default_ring_scene(noise_sigma_px=noise, seed=seed, n_frames=n_frames)
+    ip = scene.image_points_noisy()
+    cams = scene.cameras
+    views = cams.device_views(posed_only=True)
+    id_to_idx = {int(c): i for i, c in enumerate(views.cam_ids)}
+    cam_idx = np.array([id_to_idx[int(c)] for c in ip.cam_id])
+    pt_idx, keys = ip.point_index()
+    wp = ip.triangulate(cams)
+    key_map = {tuple(k): i for i, k in enumerate(wp.keys())}
+    row = np.array([key_map[tuple(k)] for k in keys])
+    X0 = wp.xyz[row]
+    problem = make_problem(cam_idx, pt_idx, ip.img_xy, views.K, views.dist, views.fisheye, **make_kw)
+    return scene, ip, views, cam_idx, pt_idx, X0, problem
+
+
+def _pixel_rmse(res, views, cam_idx, pt_idx, uv):
+    err = np.asarray(
+        reprojection_errors(
+            jnp.asarray(res.cam9), jnp.asarray(res.X), jnp.asarray(cam_idx), jnp.asarray(pt_idx),
+            jnp.asarray(uv), jnp.asarray(views.K), jnp.asarray(views.dist), jnp.asarray(views.fisheye),
+        )
+    )
+    return float(np.sqrt((err**2).mean()))
+
+
+class TestJacobianBlocks:
+    def test_observation_blocks_match_finite_differences(self, rng):
+        """jacfwd camera/point blocks vs central differences (the reference
+        validates its hand-assembled sparse J the same way)."""
+        _scene, ip, views, cam_idx, pt_idx, X0, _p = _scene_problem(noise=0.3)
+        cam9 = initial_cam9(_scene.cameras)
+        args = (
+            jnp.asarray(cam_idx[:50]), jnp.asarray(pt_idx[:50]), jnp.asarray(ip.img_xy[:50]),
+            jnp.asarray(views.K), jnp.asarray(views.dist), jnp.asarray(views.fisheye),
+            jnp.asarray(1.0 / views.K[:, 0, 0]),
+        )
+        r, Jc, Jp = observation_jacobian_blocks(jnp.asarray(cam9), jnp.asarray(X0), *args)
+        eps = 1e-6
+
+        def res_at(cam9_v, X_v):
+            return np.asarray(observation_residuals(jnp.asarray(cam9_v), jnp.asarray(X_v), *args))
+
+        # camera params of camera 0
+        for j in range(9):
+            d = np.zeros_like(cam9)
+            d[0, j] = eps
+            num = (res_at(cam9 + d, X0) - res_at(cam9 - d, X0)) / (2 * eps)
+            sel = np.asarray(cam_idx[:50]) == 0
+            np.testing.assert_allclose(np.asarray(Jc)[sel, :, j], num[sel], atol=1e-5)
+        # one world point
+        p0 = int(pt_idx[0])
+        for j in range(3):
+            d = np.zeros_like(X0)
+            d[p0, j] = eps
+            num = (res_at(cam9, X0 + d) - res_at(cam9, X0 - d)) / (2 * eps)
+            sel = np.asarray(pt_idx[:50]) == p0
+            np.testing.assert_allclose(np.asarray(Jp)[sel, :, j], num[sel], atol=1e-5)
+
+    def test_constraint_blocks_match_finite_differences(self, rng):
+        P = 12
+        X = rng.normal(size=(P, 3))
+        pa_idx = np.array([[0, 1, 2, 3], [4, 4, 4, 4]], np.int32)
+        pa_w = np.array([[0.25] * 4, [1.0, 0, 0, 0]])
+        pb_idx = np.array([[5, 6, 7, 8], [9, 9, 9, 9]], np.int32)
+        pb_w = np.array([[0.25] * 4, [1.0, 0, 0, 0]])
+        target = np.array([1.0, 0.5])
+        weight = np.array([10.0, 20.0])
+        r, idx, J = constraint_jacobian_blocks(
+            jnp.asarray(X), jnp.asarray(pa_idx), jnp.asarray(pa_w),
+            jnp.asarray(pb_idx), jnp.asarray(pb_w), jnp.asarray(target), jnp.asarray(weight),
+        )
+        eps = 1e-7
+        for q in range(2):
+            for k in range(8):
+                p = int(np.asarray(idx)[q, k])
+                for j in range(3):
+                    d = np.zeros_like(X)
+                    d[p, j] = eps
+                    rp = constraint_residuals(jnp.asarray(X + d), jnp.asarray(pa_idx), jnp.asarray(pa_w), jnp.asarray(pb_idx), jnp.asarray(pb_w), jnp.asarray(target), jnp.asarray(weight))
+                    rm = constraint_residuals(jnp.asarray(X - d), jnp.asarray(pa_idx), jnp.asarray(pa_w), jnp.asarray(pb_idx), jnp.asarray(pb_w), jnp.asarray(target), jnp.asarray(weight))
+                    num = (np.asarray(rp)[q] - np.asarray(rm)[q]) / (2 * eps)
+                    # several slots may reference the same point; sum those blocks
+                    same = np.asarray(idx)[q] == p
+                    np.testing.assert_allclose(np.asarray(J)[q][same, j].sum(), num, atol=1e-6)
+
+
+class TestLMConvergence:
+    def test_noiseless_converges_to_zero(self):
+        _scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(noise=0.0)
+        rng = np.random.default_rng(0)
+        cam9 = initial_cam9(_scene.cameras)
+        cam9[:, :3] += rng.normal(scale=0.01, size=cam9[:, :3].shape)
+        cam9[:, 3:6] += rng.normal(scale=0.03, size=(len(cam9), 3))
+        res = lm_solve(problem, cam9, X0, BAConfig(max_iter=60))
+        assert res.cost_final < 1e-12
+        assert _pixel_rmse(res, views, cam_idx, pt_idx, ip.img_xy) < 1e-4
+
+    def test_noisy_reaches_noise_floor(self):
+        _scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(noise=0.5)
+        cam9 = initial_cam9(_scene.cameras)
+        res = lm_solve(problem, cam9, X0, BAConfig(max_iter=60))
+        rmse = _pixel_rmse(res, views, cam_idx, pt_idx, ip.img_xy)
+        assert 0.2 < rmse < 0.6  # at/below the 0.5 px injected noise
+
+    def test_dense_and_cg_agree(self):
+        _scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(noise=0.5)
+        rng = np.random.default_rng(1)
+        cam9 = initial_cam9(_scene.cameras)
+        cam9[:, 3:6] += rng.normal(scale=0.02, size=(len(cam9), 3))
+        res_d = lm_solve(problem, cam9, X0, BAConfig(max_iter=60, solver="dense"))
+        res_c = lm_solve(problem, cam9, X0, BAConfig(max_iter=60, solver="cg"))
+        assert res_d.cost_final == pytest.approx(res_c.cost_final, rel=1e-6)
+
+    def test_cost_monotone_nonincreasing(self):
+        _scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(noise=0.5)
+        cam9 = initial_cam9(_scene.cameras)
+        res = lm_solve(problem, cam9, X0, BAConfig(max_iter=30))
+        assert res.cost_final <= res.cost_initial
+
+    def test_frozen_cameras_do_not_move(self):
+        _scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(
+            noise=0.5, fixed_cameras=np.array([True, False, False, False])
+        )
+        cam9 = initial_cam9(_scene.cameras)
+        res = lm_solve(problem, cam9, X0, BAConfig(max_iter=30))
+        np.testing.assert_array_equal(res.cam9[0, :6], cam9[0, :6])
+        assert not np.allclose(res.cam9[1, :6], cam9[1, :6])
+
+
+class TestRobustLoss:
+    def test_soft_l1_resists_outliers(self):
+        scene = default_ring_scene(noise_sigma_px=0.5, n_frames=10)
+        ip = scene.image_points_noisy()
+        ip, _mask = inject_outliers(ip, fraction=0.05, magnitude_px=40.0, rng=np.random.default_rng(3))
+        cams = scene.cameras
+        views = cams.device_views(posed_only=True)
+        id_to_idx = {int(c): i for i, c in enumerate(views.cam_ids)}
+        cam_idx = np.array([id_to_idx[int(c)] for c in ip.cam_id])
+        pt_idx, keys = ip.point_index()
+        wp = ip.triangulate(cams)
+        key_map = {tuple(k): i for i, k in enumerate(wp.keys())}
+        X0 = wp.xyz[np.array([key_map[tuple(k)] for k in keys])]
+        problem = make_problem(cam_idx, pt_idx, ip.img_xy, views.K, views.dist, views.fisheye)
+        cam9 = initial_cam9(cams)
+        fx_med = float(np.median(views.K[:, 0, 0]))
+        res_lin = lm_solve(problem, cam9, X0, BAConfig(loss="linear", max_iter=60))
+        res_rob = lm_solve(problem, cam9, X0, BAConfig(loss="soft_l1", f_scale=1.0 / fx_med, max_iter=60))
+
+        # Pose accuracy vs ground truth must be better under the robust loss
+        gt9 = initial_cam9(cams)
+        err_lin = np.linalg.norm(res_lin.cam9[:, 3:6] - gt9[:, 3:6])
+        err_rob = np.linalg.norm(res_rob.cam9[:, 3:6] - gt9[:, 3:6])
+        assert err_rob < err_lin
+
+    def test_refine_intrinsics_respects_bounds(self):
+        _scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(noise=0.5, refine_intrinsics=True)
+        cam9 = initial_cam9(_scene.cameras)
+        res = lm_solve(problem, cam9, X0, BAConfig(max_iter=40))
+        s, k1, k2 = res.cam9[:, 6], res.cam9[:, 7], res.cam9[:, 8]
+        assert (s >= 0.5).all() and (s <= 2.0).all()
+        assert (np.abs(k1) <= 1.0).all() and (np.abs(k2) <= 2.0).all()
+
+
+class TestConstraints:
+    def test_distance_constraints_pull_points_to_metric(self):
+        """Two noisy points constrained to their exact separation end up at
+        (nearly) that separation after BA."""
+        _scene, ip, views, cam_idx, pt_idx, X0, _ = _scene_problem(noise=1.5)
+        # constrain keypoints 0 and 6 of sync 0 (same board row, known spacing)
+        wp_gt = _scene.world_points()
+        gt_map = {tuple(k): x for k, x in zip(wp_gt.keys(), wp_gt.xyz)}
+        ipn = _scene.image_points_noisy()
+        pidx, uk = ipn.point_index()
+        a = np.where((uk[:, 0] == 0) & (uk[:, 2] == 0))[0]
+        b = np.where((uk[:, 0] == 0) & (uk[:, 2] == 6))[0]
+        assert len(a) and len(b)
+        a, b = int(a[0]), int(b[0])
+        d_true = float(np.linalg.norm(gt_map[tuple(uk[a])] - gt_map[tuple(uk[b])]))
+        constraints = (
+            np.array([[a, a, a, a]], np.int32),
+            np.array([[1.0, 0, 0, 0]]),
+            np.array([[b, b, b, b]], np.int32),
+            np.array([[1.0, 0, 0, 0]]),
+            np.array([d_true]),
+            np.array([1000.0]),
+        )
+        views = _scene.cameras.device_views(posed_only=True)
+        id_to_idx = {int(c): i for i, c in enumerate(views.cam_ids)}
+        cam_idx = np.array([id_to_idx[int(c)] for c in ipn.cam_id])
+        problem = make_problem(cam_idx, pidx, ipn.img_xy, views.K, views.dist, views.fisheye, constraints=constraints)
+        wp = ipn.triangulate(_scene.cameras)
+        key_map = {tuple(k): i for i, k in enumerate(wp.keys())}
+        X0 = wp.xyz[np.array([key_map[tuple(k)] for k in uk])]
+        cam9 = initial_cam9(_scene.cameras)
+        res = lm_solve(problem, cam9, X0, BAConfig(max_iter=60))
+        d_after = float(np.linalg.norm(res.X[a] - res.X[b]))
+        assert abs(d_after - d_true) < 5e-4
