@@ -49,19 +49,33 @@ def _is_table(v: Any) -> bool:
     return isinstance(v, dict)
 
 
+def _is_table_array(v: Any) -> bool:
+    return isinstance(v, (list, tuple)) and len(v) > 0 and all(isinstance(x, dict) for x in v)
+
+
+def _quote_name(name: str) -> str:
+    return ".".join(p if p.replace("_", "").replace("-", "").isalnum() else '"' + p + '"' for p in name.split("."))
+
+
 def _emit_table(out: list[str], table: dict, prefix: str) -> None:
-    scalars = {k: v for k, v in table.items() if not _is_table(v)}
+    scalars = {k: v for k, v in table.items() if not _is_table(v) and not _is_table_array(v)}
+    arrays = {k: v for k, v in table.items() if _is_table_array(v)}
     subtables = {k: v for k, v in table.items() if _is_table(v)}
     for k, v in scalars.items():
         if v is None:
             continue  # missing key == null, matching the reference's convention
         key = k if k.replace("_", "").replace("-", "").isalnum() else '"' + k + '"'
         out.append(f"{key} = {_fmt_value(v)}")
+    for k, rows in arrays.items():
+        name = f"{prefix}.{k}" if prefix else k
+        for row in rows:
+            out.append("")
+            out.append(f"[[{_quote_name(name)}]]")
+            _emit_table(out, row, name)
     for k, v in subtables.items():
         name = f"{prefix}.{k}" if prefix else k
-        quoted = ".".join(p if p.replace("_", "").replace("-", "").isalnum() else '"' + p + '"' for p in name.split("."))
         out.append("")
-        out.append(f"[{quoted}]")
+        out.append(f"[{_quote_name(name)}]")
         _emit_table(out, v, name)
 
 
