@@ -493,6 +493,21 @@ class PairedPoseNetwork:
 # ---------------------------------------------------------------------------
 
 
+def build_pose_network(
+    image_points: ImagePoints,
+    camera_array: CameraArray,
+    **kwargs,
+) -> "PairedPoseNetwork":
+    """Bootstrap dispatch (reference build_paired_pose_network.py:14-33):
+    obj_loc present on any observation -> PnP path; all-NaN -> epipolar
+    (markerless essential-matrix) path."""
+    if image_points.any_obj_loc:
+        return build_pnp_pose_network(image_points, camera_array, **kwargs)
+    from caliscope_tpu.solvers.epipolar import build_epipolar_pose_network
+
+    return build_epipolar_pose_network(image_points, camera_array)
+
+
 def build_pnp_pose_network(
     image_points: ImagePoints,
     camera_array: CameraArray,

@@ -1,0 +1,709 @@
+"""CaptureVolume: the frozen calibration aggregate + pure-functional ops.
+
+Parity: reference src/caliscope/core/capture_volume.py:71-1351
+(CaptureVolume:71, bootstrap:270, optimize:322, filtering :607-751,
+reprojection_report:151, anchoring :833-1331, pixel_f_scale:141,
+compute_volumetric_scale_accuracy:755). Every transform returns a new frozen
+instance; the original is never mutated.
+
+TPU-first difference: optimize() builds a BAProblem (device arrays) once and
+runs the whole Levenberg-Marquardt loop as a single jitted computation
+(solvers/bundle.py) — no per-iteration host<->device round trips, no scipy.
+Reports/filtering reuse the same vectorized reprojection kernel.
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from copy import deepcopy
+from dataclasses import dataclass, field, replace
+from functools import cached_property
+from pathlib import Path
+from typing import Literal, Optional
+
+import numpy as np
+
+from caliscope_tpu.cameras import CameraArray
+from caliscope_tpu.constraints import ConstraintSet, RigidityReport, rigidity_report
+from caliscope_tpu.exceptions import CalibrationError
+from caliscope_tpu.observations import STATIC_SYNC_INDEX, ImagePoints, WorldPoints
+from caliscope_tpu.ops.similarity import (
+    SimilarityParams,
+    apply_similarity_to_extrinsics,
+    umeyama,
+)
+from caliscope_tpu.reports import OptimizationStatus, RawErrors, ReprojectionReport
+from caliscope_tpu.scale import (
+    CameraDistance,
+    DepthObservation,
+    SegmentLength,
+    VolumetricScaleReport,
+    compute_depth_ratios,
+    compute_frame_scale_error,
+    world_basis_from_up_and_forward,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class CaptureVolume:
+    camera_array: CameraArray
+    image_points: ImagePoints
+    world_points: WorldPoints
+    constraints: Optional[ConstraintSet] = None
+    img_to_obj_map: np.ndarray = field(init=False, compare=False)
+    _optimization_status: Optional[OptimizationStatus] = field(default=None, compare=False)
+
+    # ---- construction / validation ----------------------------------------
+    def __post_init__(self):
+        object.__setattr__(self, "img_to_obj_map", self._compute_img_to_obj_map())
+        self._validate_geometry()
+
+    @property
+    def optimization_status(self) -> Optional[OptimizationStatus]:
+        return self._optimization_status
+
+    def _compute_img_to_obj_map(self) -> np.ndarray:
+        """Map each image observation to its world point row (-1 unmatched).
+        Static objects collapse to STATIC_SYNC_INDEX."""
+        static_ids = self.constraints.static_object_ids if self.constraints else frozenset()
+        wp = self.world_points
+        mapping = {
+            (int(s), int(o), int(k)): i
+            for i, (s, o, k) in enumerate(zip(wp.sync_index, wp.object_id, wp.keypoint_id))
+        }
+        ip = self.image_points
+        sync = ip.sync_index.copy()
+        if static_ids:
+            sync[np.isin(ip.object_id, list(static_ids))] = STATIC_SYNC_INDEX
+        out = np.array(
+            [mapping.get((int(s), int(o), int(k)), -1) for s, o, k in zip(sync, ip.object_id, ip.keypoint_id)],
+            dtype=np.int32,
+        )
+        n_unmatched = int(np.sum(out == -1))
+        if n_unmatched:
+            logger.info(f"{n_unmatched} of {len(out)} image observations have no world point")
+        return out
+
+    def _validate_geometry(self):
+        n_img, n_world = len(self.image_points), len(self.world_points)
+        n_cams = len(self.camera_array.posed_cameras)
+        if n_img == 0:
+            raise ValueError("No image observations provided")
+        if n_world == 0:
+            raise ValueError("No world points provided")
+        if n_cams == 0:
+            raise ValueError("No posed cameras in array")
+        n_matched = int(np.sum(self.img_to_obj_map >= 0))
+        if n_matched == 0:
+            raise ValueError("No image observations have corresponding world points")
+        if n_matched < n_world * 2:
+            logger.warning(
+                f"Suspicious geometry: {n_matched} matched observations for {n_world} world points. "
+                f"Expected at least {n_world * 2} for multi-view geometry."
+            )
+
+    # ---- core solver plumbing ----------------------------------------------
+    def _matched_arrays(self):
+        """(mask, cam_idx (M,), obj_idx (M,), uv (M,2), views) over matched
+        observations from posed cameras."""
+        views = self.camera_array.device_views(posed_only=True)
+        posed_idx = {int(c): i for i, c in enumerate(views.cam_ids)}
+        posed_mask = np.isin(self.image_points.cam_id, views.cam_ids)
+        mask = (self.img_to_obj_map >= 0) & posed_mask
+        cam_idx = np.array([posed_idx[int(c)] for c in self.image_points.cam_id[mask]], dtype=np.int64)
+        obj_idx = self.img_to_obj_map[mask].astype(np.int64)
+        uv = self.image_points.img_xy[mask]
+        return mask, cam_idx, obj_idx, uv, views
+
+    def pixel_f_scale(self, px: float = 1.0) -> float:
+        """Map a pixel threshold into 1/fx_init-normalized residual units."""
+        focals = [c.matrix[0, 0] for c in self.camera_array.posed_cameras.values() if c.matrix is not None]
+        return px / float(np.median(focals))
+
+    @cached_property
+    def reprojection_report(self) -> ReprojectionReport:
+        """Pixel-space error report over matched observations (cached — the
+        volume is immutable)."""
+        import jax.numpy as jnp
+
+        from caliscope_tpu.ops.reprojection import reprojection_errors
+        from caliscope_tpu.solvers.bundle import initial_cam9
+
+        mask, cam_idx, obj_idx, uv, views = self._matched_arrays()
+        n_total = len(self.img_to_obj_map)
+        n_matched = int(mask.sum())
+        if n_matched == 0:
+            raise ValueError("No matched observations for reprojection error calculation")
+
+        cam9 = initial_cam9(self.camera_array)
+        err = np.asarray(
+            reprojection_errors(
+                jnp.asarray(cam9),
+                jnp.asarray(self.world_points.xyz),
+                jnp.asarray(cam_idx),
+                jnp.asarray(obj_idx),
+                jnp.asarray(uv),
+                jnp.asarray(views.K),
+                jnp.asarray(views.dist),
+                jnp.asarray(views.fisheye),
+            )
+        )
+        euclid = np.sqrt(np.sum(err**2, axis=1))
+        ip = self.image_points
+        raw = RawErrors(
+            sync_index=ip.sync_index[mask],
+            cam_id=ip.cam_id[mask],
+            object_id=ip.object_id[mask],
+            keypoint_id=ip.keypoint_id[mask],
+            error_xy=err,
+        )
+        by_camera = {}
+        for cid in self.camera_array.posed_cameras:
+            sel = raw.cam_id == cid
+            by_camera[cid] = float(np.sqrt(np.mean(euclid[sel] ** 2))) if sel.any() else 0.0
+        by_point = {}
+        pk = np.stack([raw.object_id, raw.keypoint_id], axis=1)
+        for o, k in np.unique(pk, axis=0):
+            sel = (raw.object_id == o) & (raw.keypoint_id == k)
+            by_point[(int(o), int(k))] = float(np.sqrt(np.mean(euclid[sel] ** 2)))
+        unmatched_by_camera = {}
+        for cid in self.camera_array.cameras:
+            total = int(np.sum(ip.cam_id == cid))
+            matched = int(np.sum((ip.cam_id == cid) & mask))
+            unmatched_by_camera[cid] = total - matched
+        return ReprojectionReport(
+            overall_rmse=float(np.sqrt(np.mean(euclid**2))),
+            by_camera=by_camera,
+            by_point=by_point,
+            n_unmatched_observations=n_total - n_matched,
+            unmatched_rate=(n_total - n_matched) / n_total if n_total else 0.0,
+            unmatched_by_camera=unmatched_by_camera,
+            raw_errors=raw,
+            n_observations_matched=n_matched,
+            n_observations_total=n_total,
+            n_cameras=len(self.camera_array.posed_cameras),
+            n_points=len(self.world_points),
+        )
+
+    # ---- persistence -------------------------------------------------------
+    def save(self, directory: Path | str) -> None:
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        self.camera_array.to_toml(directory / "camera_array.toml")
+        self.image_points.to_csv(directory / "image_points.csv")
+        self.world_points.to_csv(directory / "world_points.csv")
+        if self.constraints is not None:
+            self.constraints.to_toml(directory / "constraints.toml")
+
+    @classmethod
+    def load(cls, directory: Path | str) -> "CaptureVolume":
+        directory = Path(directory)
+        constraints_path = directory / "constraints.toml"
+        return cls(
+            camera_array=CameraArray.from_toml(directory / "camera_array.toml"),
+            image_points=ImagePoints.from_csv(directory / "image_points.csv"),
+            world_points=WorldPoints.from_csv(directory / "world_points.csv"),
+            constraints=ConstraintSet.from_toml(constraints_path) if constraints_path.exists() else None,
+        )
+
+    # ---- bootstrap ---------------------------------------------------------
+    @classmethod
+    def bootstrap(
+        cls,
+        image_points: ImagePoints,
+        camera_array: CameraArray,
+        constraints: Optional[ConstraintSet] = None,
+    ) -> "CaptureVolume":
+        """Pose network -> apply -> triangulate. Does NOT auto-optimize.
+        Dispatch: obj_loc present -> batched PnP; all-NaN -> epipolar
+        (reference build_paired_pose_network.py:14-33)."""
+        from caliscope_tpu.solvers.pose_network import build_pose_network
+
+        point_cam_ids = set(int(c) for c in np.unique(image_points.cam_id))
+        missing = point_cam_ids - set(camera_array.cameras.keys())
+        if missing:
+            raise CalibrationError(f"ImagePoints reference cameras {missing} not in the CameraArray.")
+        uncalibrated = [cid for cid, c in camera_array.cameras.items() if not c.has_intrinsics]
+        if uncalibrated:
+            raise CalibrationError(
+                f"Cannot run extrinsic calibration -- cameras {uncalibrated} have no intrinsic calibration.\n"
+                f"Run calibrate_intrinsics() for each camera first."
+            )
+        cameras = camera_array.copy()
+        pose_network = build_pose_network(image_points, cameras)
+        pose_network.apply_to(cameras)
+        static_ids = constraints.static_object_ids if constraints else frozenset()
+        world_points = image_points.triangulate(cameras, static_object_ids=static_ids)
+        return cls(camera_array=cameras, image_points=image_points, world_points=world_points, constraints=constraints)
+
+    # ---- bundle adjustment --------------------------------------------------
+    def optimize(
+        self,
+        ftol: float = 1e-8,
+        max_nfev: int | None = None,
+        strict: bool = True,
+        use_constraints: bool = True,
+        pixel_sigma: float = 1.0,
+        *,
+        refine_intrinsics: bool = False,
+        loss: str = "linear",
+        f_scale: float = 1.0,
+        solver: str = "auto",
+    ) -> "CaptureVolume":
+        """Bundle adjustment. Extrinsics-only by default; refine_intrinsics
+        adds the [s, k1, k2] block per camera. Matches the reference's
+        optimize() contract (loss/f_scale/constraints/bounds) but runs the
+        TPU-native LM (solvers/bundle.py)."""
+        from caliscope_tpu.solvers.bundle import (
+            BAConfig,
+            bound_warnings,
+            initial_cam9,
+            lm_solve,
+            make_problem,
+        )
+
+        _mask, cam_idx, obj_idx, uv, views = self._matched_arrays()
+
+        constraint_arrays = None
+        if use_constraints and self.constraints is not None:
+            arrays = self.constraints.compile_arrays(self.world_points)
+            if arrays is not None:
+                pa_idx, pa_w, pb_idx, pb_w, dists, sigmas = arrays
+                f_median = float(np.median(views.K[:, 0, 0]))
+                weights = (pixel_sigma / f_median) / sigmas
+                constraint_arrays = (pa_idx, pa_w, pb_idx, pb_w, dists, weights)
+                logger.info(f"Adding {len(dists)} constraint rows (f_median={f_median:.0f}, pixel_sigma={pixel_sigma})")
+
+        problem = make_problem(
+            cam_idx,
+            obj_idx,
+            uv,
+            views.K,
+            views.dist,
+            views.fisheye,
+            refine_intrinsics=refine_intrinsics,
+            constraints=constraint_arrays,
+        )
+        cam9_0 = initial_cam9(self.camera_array)
+        config = BAConfig(
+            loss=loss,
+            f_scale=f_scale,
+            max_iter=max_nfev if max_nfev is not None else 100,
+            ftol=ftol,
+            solver=solver,
+        )
+        logger.info(f"Beginning bundle adjustment on {len(uv)} observations")
+        result = lm_solve(problem, cam9_0, self.world_points.xyz, config)
+
+        termination = "converged_ftol" if result.converged else "max_iterations"
+        if strict and not result.converged:
+            raise CalibrationError(
+                f"Bundle adjustment did not converge: {termination}\n"
+                f"Pass strict=False to suppress this error and inspect the result."
+            )
+
+        new_cameras = self.camera_array.copy()
+        posed_ids = sorted(new_cameras.posed_cameras.keys())
+        for i, cid in enumerate(posed_ids):
+            cam = new_cameras.cameras[cid]
+            cam.extrinsics_from_vector(result.cam9[i, :6])
+            if refine_intrinsics:
+                s, k1, k2 = result.cam9[i, 6:]
+                cam.matrix = cam.matrix.copy()
+                cam.matrix[0, 0] *= s
+                cam.matrix[1, 1] *= s
+                d = cam.distortions.copy()
+                d[0], d[1] = k1, k2
+                cam.distortions = d
+
+        status = OptimizationStatus(
+            converged=result.converged,
+            termination_reason=termination,
+            iterations=result.n_iterations,
+            final_cost=result.cost_final,
+            bound_warnings=tuple(bound_warnings(result.cam9)) if refine_intrinsics else (),
+        )
+        return CaptureVolume(
+            camera_array=new_cameras,
+            image_points=self.image_points,
+            world_points=self.world_points.with_xyz(result.X),
+            constraints=self.constraints,
+            _optimization_status=status,
+        )
+
+    # ---- rigidity / scale QA ------------------------------------------------
+    def rigidity_report(self) -> RigidityReport:
+        return rigidity_report(self.constraints, self.world_points)
+
+    def compute_volumetric_scale_accuracy(self) -> VolumetricScaleReport:
+        """Per-(frame, object) pairwise-distance accuracy vs obj_loc ground
+        truth (reference capture_volume.py:755-831)."""
+        ip = self.image_points
+        has_obj = np.isfinite(ip.obj_loc).all(axis=1)
+        matched = self.img_to_obj_map >= 0
+        usable = has_obj & matched
+        if not usable.any():
+            return VolumetricScaleReport.empty()
+        frame_errors = []
+        keys = np.stack([ip.sync_index[usable], ip.object_id[usable]], axis=1)
+        rows = np.where(usable)[0]
+        for s, o in np.unique(keys, axis=0):
+            sel = rows[(keys[:, 0] == s) & (keys[:, 1] == o)]
+            kp = ip.keypoint_id[sel]
+            uniq_kp, first = np.unique(kp, return_index=True)
+            if len(uniq_kp) < 2:
+                continue
+            obj_pts = ip.obj_loc[sel][first]
+            world_rows = self.img_to_obj_map[sel][first]
+            world_pts = self.world_points.xyz[world_rows]
+            n_cams = len(np.unique(ip.cam_id[sel]))
+            try:
+                frame_errors.append(
+                    compute_frame_scale_error(world_pts, obj_pts, int(s), int(o), n_cams)
+                )
+            except ValueError as e:
+                logger.debug(f"Skipping sync {s} object {o}: {e}")
+        return VolumetricScaleReport(
+            frame_errors=tuple(frame_errors),
+            static_object_ids=self.constraints.static_object_ids if self.constraints else frozenset(),
+        )
+
+    def depth_ratios(self) -> dict[int, float]:
+        return compute_depth_ratios(self.camera_array, self.world_points)
+
+    # ---- filtering ----------------------------------------------------------
+    def _filter_by_thresholds(self, thresholds: dict[int, float], min_per_camera: int) -> "CaptureVolume":
+        """Per-camera error thresholds with a keep-at-least floor; prunes
+        orphaned world points, preserving static points that retain
+        observations (reference capture_volume.py:607-684)."""
+        raw = self.reprojection_report.raw_errors
+        euclid = raw.euclidean_error
+        thr = np.array([thresholds.get(int(c), np.inf) for c in raw.cam_id])
+        keep = euclid <= thr
+        for cid in np.unique(raw.cam_id):
+            sel = raw.cam_id == cid
+            n_keep, n_total = int(keep[sel].sum()), int(sel.sum())
+            if n_keep < min_per_camera and n_keep < n_total:
+                n_needed = min(min_per_camera, n_total) - n_keep
+                dropped = euclid[sel & ~keep]
+                if len(dropped) >= n_needed:
+                    add_thr = np.sort(dropped)[n_needed - 1]
+                    keep[sel] = euclid[sel] <= add_thr
+
+        keep_keys = {
+            (int(s), int(c), int(o), int(k))
+            for s, c, o, k in zip(raw.sync_index[keep], raw.cam_id[keep], raw.object_id[keep], raw.keypoint_id[keep])
+        }
+        ip = self.image_points
+        ip_keep = np.array(
+            [
+                (int(s), int(c), int(o), int(k)) in keep_keys
+                for s, c, o, k in zip(ip.sync_index, ip.cam_id, ip.object_id, ip.keypoint_id)
+            ]
+        )
+        new_ip = ip.select(ip_keep)
+
+        # prune orphaned world points
+        obs_keys = {
+            (int(s), int(o), int(k)) for s, o, k in zip(new_ip.sync_index, new_ip.object_id, new_ip.keypoint_id)
+        }
+        static_obs_keys = {(int(o), int(k)) for o, k in zip(new_ip.object_id, new_ip.keypoint_id)}
+        wp = self.world_points
+        wp_keep = np.array(
+            [
+                (
+                    ((int(o), int(k)) in static_obs_keys)
+                    if int(s) == STATIC_SYNC_INDEX
+                    else ((int(s), int(o), int(k)) in obs_keys)
+                )
+                for s, o, k in zip(wp.sync_index, wp.object_id, wp.keypoint_id)
+            ]
+        )
+        return CaptureVolume(
+            camera_array=self.camera_array,
+            image_points=new_ip,
+            world_points=wp.select(wp_keep),
+            constraints=self.constraints,
+        )
+
+    def filter_by_absolute_error(self, max_pixels: float, min_per_camera: int = 10) -> "CaptureVolume":
+        if max_pixels <= 0:
+            raise ValueError(f"max_pixels must be positive, got {max_pixels}")
+        if min_per_camera < 1:
+            raise ValueError(f"min_per_camera must be >= 1, got {min_per_camera}")
+        thresholds = {cid: max_pixels for cid in self.camera_array.posed_cameras}
+        return self._filter_by_thresholds(thresholds, min_per_camera)
+
+    def filter_by_percentile_error(
+        self,
+        percentile: float,
+        scope: Literal["per_camera", "overall"] = "per_camera",
+        min_per_camera: int = 10,
+    ) -> "CaptureVolume":
+        """Remove the worst N% of observations by reprojection error."""
+        if not (0 < percentile <= 100):
+            raise ValueError(f"percentile must be between 0 and 100, got {percentile}")
+        if min_per_camera < 1:
+            raise ValueError(f"min_per_camera must be >= 1, got {min_per_camera}")
+        raw = self.reprojection_report.raw_errors
+        euclid = raw.euclidean_error
+        keep_pct = 100 - percentile
+        if scope == "per_camera":
+            thresholds = {}
+            for cid in self.camera_array.posed_cameras:
+                errs = euclid[raw.cam_id == cid]
+                thresholds[cid] = float(np.percentile(errs, keep_pct)) if len(errs) else float(np.inf)
+        elif scope == "overall":
+            g = float(np.percentile(euclid, keep_pct))
+            thresholds = {cid: g for cid in self.camera_array.posed_cameras}
+        else:
+            raise ValueError(f"scope must be 'per_camera' or 'overall', got {scope}")
+        return self._filter_by_thresholds(thresholds, min_per_camera)
+
+    # ---- anchoring ----------------------------------------------------------
+    def _apply_similarity(self, params: SimilarityParams) -> "CaptureVolume":
+        views = self.camera_array.device_views(posed_only=True)
+        R_new, t_new = apply_similarity_to_extrinsics(
+            params.scale, np.asarray(params.rotation), np.asarray(params.translation),
+            np.stack([self.camera_array.cameras[int(c)].rotation for c in views.cam_ids]),
+            np.stack([self.camera_array.cameras[int(c)].translation for c in views.cam_ids]),
+        )
+        new_cameras = self.camera_array.copy()
+        for i, cid in enumerate(views.cam_ids):
+            new_cameras.cameras[int(cid)].rotation = np.asarray(R_new[i])
+            new_cameras.cameras[int(cid)].translation = np.asarray(t_new[i])
+        new_xyz = params.apply(self.world_points.xyz)
+        return CaptureVolume(
+            camera_array=new_cameras,
+            image_points=self.image_points,
+            world_points=self.world_points.with_xyz(new_xyz),
+            constraints=self.constraints,
+            _optimization_status=self._optimization_status,
+        )
+
+    def align_to_object(self, sync_index: int | None, object_id: int | None = None) -> "CaptureVolume":
+        """Rigid-align the volume to a marker's local frame: marker center at
+        origin, axes as printed (right-handed, Z out of the face). sync=None
+        only for static markers."""
+        ip = self.image_points
+        static_ids = self.constraints.static_object_ids if self.constraints else frozenset()
+        if sync_index is None:
+            if object_id is None:
+                raise ValueError("sync_index=None requires an explicit object_id")
+            if object_id not in static_ids:
+                raise ValueError(
+                    f"sync_index=None is only valid for static markers, but object_id={object_id} is not static"
+                )
+        sel = np.ones(len(ip), bool) if sync_index is None else ip.sync_index == sync_index
+        if not sel.any():
+            raise ValueError(f"No image observations at sync_index={sync_index}")
+        if object_id is None:
+            objs = np.unique(ip.object_id[sel])
+            if len(objs) > 1:
+                raise ValueError(
+                    f"Multiple markers present at sync_index {sync_index}; specify object_id "
+                    f"(available: {sorted(int(o) for o in objs)})"
+                )
+            object_id = int(objs[0])
+        sel &= ip.object_id == object_id
+        world_si = STATIC_SYNC_INDEX if object_id in static_ids else (sync_index if sync_index is not None else 0)
+
+        # unique (keypoint -> obj_loc) among selected observations
+        kp_sel = ip.keypoint_id[sel]
+        ol_sel = ip.obj_loc[sel].copy()
+        if np.isnan(ol_sel[:, 2]).all() and np.isfinite(ol_sel[:, :2]).any():
+            logger.info("obj_loc_z is all NaN, assuming planar board with z=0")
+            ol_sel[:, 2] = 0.0
+        uniq_kp, first = np.unique(kp_sel, return_index=True)
+        obj_map = {int(k): ol_sel[i] for k, i in zip(uniq_kp, first) if np.isfinite(ol_sel[i]).all()}
+
+        wp = self.world_points
+        wsel = (wp.sync_index == world_si) & (wp.object_id == object_id)
+        src, dst = [], []
+        for i in np.where(wsel)[0]:
+            k = int(wp.keypoint_id[i])
+            if k in obj_map:
+                src.append(wp.xyz[i])
+                dst.append(obj_map[k])
+        if len(src) < 3:
+            raise ValueError(f"Need at least 3 valid correspondences for object_id={object_id}, got {len(src)}")
+        s, R, t = umeyama(np.asarray(src), np.asarray(dst), with_scale=False)
+        params = SimilarityParams(float(s), np.asarray(R), np.asarray(t))
+        logger.info(
+            f"Estimated alignment: scale={params.scale:.6f}, translation={params.translation}, "
+            f"rotation_det={np.linalg.det(params.rotation):.6f}"
+        )
+        return self._apply_similarity(params)
+
+    @property
+    def unique_sync_indices(self) -> np.ndarray:
+        return np.sort(np.unique(self.world_points.sync_index))
+
+    def rotate(self, axis: Literal["x", "y", "z"], angle_degrees: float) -> "CaptureVolume":
+        """Right-hand-rule rotation of the whole coordinate system."""
+        a = np.radians(angle_degrees)
+        c, s = np.cos(a), np.sin(a)
+        if axis == "x":
+            R = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+        elif axis == "y":
+            R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        elif axis == "z":
+            R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        else:
+            raise ValueError(f"Invalid axis '{axis}'. Must be 'x', 'y', or 'z'")
+        return self._apply_similarity(SimilarityParams(1.0, R, np.zeros(3)))
+
+    def translate(self, x: float = 0.0, y: float = 0.0, z: float = 0.0) -> "CaptureVolume":
+        return self._apply_similarity(SimilarityParams(1.0, np.eye(3), np.array([x, y, z], float)))
+
+    def _anchor_cam_id(self) -> int:
+        posed = self.camera_array.posed_cameras
+        if not posed:
+            raise ValueError("No posed cameras; cannot anchor a shape-only volume.")
+        return min(posed)
+
+    def _camera_center(self, cam_id: int) -> np.ndarray:
+        cam = self.camera_array.cameras[cam_id]
+        if cam.rotation is None or cam.translation is None:
+            raise ValueError(f"Camera {cam_id} has no pose; cannot compute its center.")
+        return -cam.rotation.T @ cam.translation
+
+    def scaled(self, *cues: CameraDistance | SegmentLength | DepthObservation) -> "CaptureVolume":
+        """Uniform metric scale from one or more cues, combined by
+        sigma-weighted least squares, with 2-sigma disagreement warnings
+        (reference capture_volume.py:1064-1161)."""
+        if not cues:
+            raise ValueError("scaled() requires at least one cue; got none.")
+        compiled: list[tuple[float, float, float]] = []
+        skip_reasons: list[str] = []
+        n_depth = 0
+        for cue in cues:
+            if isinstance(cue, DepthObservation):
+                n_depth += 1
+                outcome = self._compile_depth_cue(cue)
+                if isinstance(outcome, str):
+                    skip_reasons.append(outcome)
+                else:
+                    compiled.append(outcome)
+            else:
+                compiled.append(self._compile_cue(cue))
+        if skip_reasons:
+            from collections import Counter
+
+            breakdown = ", ".join(f"{n} {r}" for r, n in sorted(Counter(skip_reasons).items()))
+            warnings.warn(
+                f"Skipped {len(skip_reasons)} of {n_depth} depth cues as unresolvable ({breakdown}).", stacklevel=2
+            )
+        if not compiled:
+            raise ValueError(f"All {len(cues)} scale cues were unresolvable; cannot determine scale.")
+        d_arb = np.array([c[0] for c in compiled])
+        d_met = np.array([c[1] for c in compiled])
+        sigma = np.array([c[2] for c in compiled])
+        if len(compiled) == 1:
+            scale = float(d_met[0] / d_arb[0])
+        else:
+            scale = float(np.sum(d_met * d_arb / sigma**2) / np.sum(d_arb**2 / sigma**2))
+            implied = d_met / d_arb
+            sigma_scale = sigma / d_arb
+            for i in range(len(compiled)):
+                for j in range(i + 1, len(compiled)):
+                    combined = float(np.hypot(sigma_scale[i], sigma_scale[j]))
+                    if abs(implied[i] - implied[j]) > 2.0 * combined:
+                        warnings.warn(
+                            f"Scale cues {i} and {j} disagree: implied scales {implied[i]:.6g} vs "
+                            f"{implied[j]:.6g} differ by more than 2 sigma ({2.0 * combined:.6g}).",
+                            stacklevel=2,
+                        )
+        return self._apply_similarity(SimilarityParams(scale, np.eye(3), np.zeros(3)))
+
+    def _compile_cue(self, cue) -> tuple[float, float, float]:
+        if isinstance(cue, CameraDistance):
+            posed = self.camera_array.posed_cameras
+            for cid in (cue.cam_a, cue.cam_b):
+                if cid not in posed:
+                    raise ValueError(f"CameraDistance references cam_id {cid}, which is not a posed camera.")
+            d_arb = float(np.linalg.norm(self._camera_center(cue.cam_a) - self._camera_center(cue.cam_b)))
+            if d_arb == 0.0:
+                raise ValueError(f"Cameras {cue.cam_a} and {cue.cam_b} coincide; distance cue is degenerate.")
+            return d_arb, float(cue.meters), float(cue.sigma_m)
+        if isinstance(cue, SegmentLength):
+            wp = self.world_points
+            dists = []
+            a_rows = {
+                (int(s), int(o)): i
+                for i, (s, o, k) in enumerate(zip(wp.sync_index, wp.object_id, wp.keypoint_id))
+                if int(k) == cue.keypoint_id_a
+            }
+            for i, (s, o, k) in enumerate(zip(wp.sync_index, wp.object_id, wp.keypoint_id)):
+                if int(k) == cue.keypoint_id_b and (int(s), int(o)) in a_rows:
+                    dists.append(float(np.linalg.norm(wp.xyz[a_rows[(int(s), int(o))]] - wp.xyz[i])))
+            if not dists:
+                raise ValueError(
+                    f"SegmentLength found no frame where both keypoints "
+                    f"{cue.keypoint_id_a} and {cue.keypoint_id_b} are triangulated."
+                )
+            return float(np.median(dists)), float(cue.meters), float(cue.sigma_m)
+        raise TypeError(f"Unknown scale cue type: {type(cue).__name__}")
+
+    def _compile_depth_cue(self, cue: DepthObservation):
+        cam = self.camera_array.cameras.get(cue.cam_id)
+        if cam is None or cam.rotation is None or cam.translation is None:
+            return "unposed camera"
+        wp = self.world_points
+        rows = np.where((wp.sync_index == cue.sync_index) & (wp.keypoint_id == cue.keypoint_id))[0]
+        if len(rows) == 0:
+            return "no world point"
+        if len(rows) > 1:
+            return "ambiguous match"
+        p = wp.xyz[rows[0]]
+        d_arb = float((cam.rotation @ p + cam.translation)[2])
+        if d_arb <= 0.0:
+            return "non-positive depth"
+        return d_arb, float(cue.depth_m), float(cue.sigma_m)
+
+    def oriented(self, up: dict[int, np.ndarray]) -> "CaptureVolume":
+        """Rotate so the consensus per-camera vertical becomes +Z; yaw fixed
+        by the anchor camera's optical axis -> +Y."""
+        if not up:
+            raise ValueError("oriented() requires at least one up vector.")
+        world_ups = []
+        for cid, up_cam in up.items():
+            cam = self.camera_array.cameras.get(cid)
+            if cam is None or cam.rotation is None:
+                raise ValueError(f"oriented() references cam_id {cid}, which is not a posed camera.")
+            world_ups.append(cam.rotation.T @ np.asarray(up_cam, float))
+        consensus = np.mean(np.stack(world_ups), axis=0)
+        norm = float(np.linalg.norm(consensus))
+        if norm < 1e-9:
+            raise ValueError("Consensus up vector is degenerate (per-camera verticals cancel).")
+        consensus_up = consensus / norm
+        unit_ups = [w / np.linalg.norm(w) for w in world_ups]
+        per_cam = ", ".join(
+            f"cam {cid}: {np.degrees(np.arccos(np.clip(np.dot(u, consensus_up), -1, 1))):.2f}"
+            for cid, u in zip(up.keys(), unit_ups)
+        )
+        logger.info(f"Vertical agreement (deg from consensus): {per_cam}")
+        anchor = self.camera_array.cameras[self._anchor_cam_id()]
+        forward = anchor.rotation.T @ np.array([0.0, 0.0, 1.0])
+        R = world_basis_from_up_and_forward(consensus_up, forward)
+        return self._apply_similarity(SimilarityParams(1.0, R, np.zeros(3)))
+
+    def grounded(
+        self, mode: Literal["lowest_point"] = "lowest_point", *, lowest_point_height_m: float = 0.0
+    ) -> "CaptureVolume":
+        """Floor at Z=0 (robust 1st-percentile order statistic of world Z) and
+        XY origin under the anchor camera. Call after oriented()."""
+        if mode != "lowest_point":
+            raise ValueError(f"grounded() only supports mode='lowest_point', got {mode!r}.")
+        min_z = float(np.percentile(self.world_points.xyz[:, 2], 1.0, method="lower"))
+        center = self._camera_center(self._anchor_cam_id())
+        return self.translate(x=-center[0], y=-center[1], z=-min_z + lowest_point_height_m)
+
+    def centered(self) -> "CaptureVolume":
+        """XY origin at the centroid of posed camera centers; Z untouched."""
+        centers = np.array([self._camera_center(cid) for cid in self.camera_array.posed_cameras])
+        cxy = centers[:, :2].mean(axis=0)
+        return self.translate(x=-cxy[0], y=-cxy[1])

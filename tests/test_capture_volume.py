@@ -1,0 +1,178 @@
+"""CaptureVolume tests — mirrors reference tests/test_capture_volume.py,
+test_calibration.py (RMSE monotonicity), test_capture_volume_anchoring.py."""
+
+import numpy as np
+import pytest
+
+from caliscope_tpu.constraints import ConstraintSet
+from caliscope_tpu.scale import CameraDistance, SegmentLength
+from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
+from caliscope_tpu.synthetic.factories import default_ring_scene
+from caliscope_tpu.volume import CaptureVolume
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return default_ring_scene(noise_sigma_px=0.5, n_frames=10)
+
+
+@pytest.fixture(scope="module")
+def boot_volume(scene):
+    """Bootstrapped (pose network + triangulation) volume from stripped cameras."""
+    ip = scene.image_points_noisy()
+    cams = strip_extrinsics(scene.cameras)
+    return CaptureVolume.bootstrap(ip, cams)
+
+
+class TestBootstrapAndOptimize:
+    def test_bootstrap_poses_all_cameras(self, boot_volume, scene):
+        assert len(boot_volume.camera_array.posed_cameras) == len(scene.cameras.cameras)
+        assert len(boot_volume.world_points) > 0
+
+    def test_rmse_strictly_decreases_through_pipeline(self, boot_volume):
+        """The reference's core calibration contract
+        (tests/test_calibration.py:56-82)."""
+        rmse_0 = boot_volume.reprojection_report.overall_rmse
+        optimized = boot_volume.optimize()
+        rmse_1 = optimized.reprojection_report.overall_rmse
+        filtered = optimized.filter_by_absolute_error(2.0)
+        refined = filtered.optimize()
+        rmse_2 = refined.reprojection_report.overall_rmse
+        assert rmse_1 < rmse_0
+        assert rmse_2 <= rmse_1 + 1e-9
+        # no camera loses all observations
+        for cid, cam_rmse in refined.reprojection_report.by_camera.items():
+            n = int(np.sum(refined.image_points.cam_id == cid))
+            assert n > 0, f"camera {cid} lost all observations"
+
+    def test_optimization_status_populated(self, boot_volume):
+        out = boot_volume.optimize()
+        st = out.optimization_status
+        assert st is not None and st.converged
+        assert st.final_cost <= out.optimize().optimization_status.final_cost + 1e-12
+        # filtering clears the status
+        assert out.filter_by_percentile_error(2.5).optimization_status is None
+
+    def test_save_load_round_trip(self, boot_volume, tmp_path):
+        v = boot_volume.optimize()
+        v.save(tmp_path / "cv")
+        v2 = CaptureVolume.load(tmp_path / "cv")
+        assert np.allclose(v2.world_points.xyz, v.world_points.xyz)
+        assert v2.reprojection_report.overall_rmse == pytest.approx(
+            v.reprojection_report.overall_rmse, abs=1e-9
+        )
+
+    def test_percentile_filter_drops_expected_fraction(self, boot_volume):
+        v = boot_volume.optimize()
+        n0 = len(v.image_points)
+        f = v.filter_by_percentile_error(10.0)
+        n1 = len(f.image_points)
+        assert 0.85 <= n1 / n0 <= 0.95
+
+
+class TestConstraints:
+    def test_constrained_optimize_improves_rigidity(self, scene):
+        from caliscope_tpu.constraints import DistanceConstraint
+
+        ip = scene.image_points_noisy(sigma_px=1.0)
+        board = scene.objects[0]
+        # constrain all horizontal neighbor pairs at the known spacing
+        pts = board.points_local
+        cons = []
+        for a in range(board.n_keypoints):
+            for b in range(a + 1, board.n_keypoints):
+                d = np.linalg.norm(pts[a] - pts[b])
+                if abs(d - 0.054) < 1e-9:
+                    cons.append(DistanceConstraint(0, a, 0, b, float(d), 0.002))
+        cs = ConstraintSet(tuple(cons), frozenset())
+        cams = strip_extrinsics(scene.cameras)
+        v = CaptureVolume.bootstrap(ip, cams, constraints=cs)
+        unconstrained = v.optimize(use_constraints=False)
+        constrained = v.optimize(use_constraints=True)
+        r_unc = unconstrained.rigidity_report().rmse_mm
+        r_con = constrained.rigidity_report().rmse_mm
+        assert r_con <= r_unc
+        assert r_con < 2.0  # reference tolerance (BASELINE.md)
+
+
+class TestAnchoring:
+    def test_rigid_transforms_preserve_reprojection(self, boot_volume):
+        v = boot_volume.optimize()
+        r0 = v.reprojection_report.overall_rmse
+        moved = v.rotate("z", 33.0).translate(x=0.4, y=-0.2, z=1.0).rotate("x", -20.0)
+        assert moved.reprojection_report.overall_rmse == pytest.approx(r0, rel=1e-6)
+
+    def test_align_to_object_centers_board(self, boot_volume):
+        v = boot_volume.optimize()
+        aligned = v.align_to_object(sync_index=0, object_id=0)
+        # after alignment, world points at sync 0 should match obj_loc (rigid)
+        wp = aligned.world_points
+        sel = (wp.sync_index == 0) & (wp.object_id == 0)
+        ip = aligned.image_points
+        obj_map = {}
+        for k, ol in zip(ip.keypoint_id, ip.obj_loc):
+            if np.isfinite(ol).all():
+                obj_map[int(k)] = ol
+        xyz = wp.xyz[sel]
+        expected = np.array([obj_map[int(k)] for k in wp.keypoint_id[sel]])
+        err = np.linalg.norm(xyz - expected, axis=1)
+        assert np.median(err) < 0.005  # within 5 mm of printed geometry
+
+    def test_scaled_with_camera_distance_cue(self, boot_volume, scene):
+        v = boot_volume.optimize()
+        # true distance between cameras 0 and 1 in ground truth
+        c = {cid: -cam.rotation.T @ cam.translation for cid, cam in scene.cameras.cameras.items()}
+        true_d = float(np.linalg.norm(c[0] - c[1]))
+        # shrink the volume, then recover scale from the cue
+        from caliscope_tpu.ops.similarity import SimilarityParams
+
+        shrunk = v._apply_similarity(SimilarityParams(0.5, np.eye(3), np.zeros(3)))
+        rescaled = shrunk.scaled(CameraDistance(0, 1, meters=true_d))
+        c_new = {cid: -cam.rotation.T @ cam.translation for cid, cam in rescaled.camera_array.cameras.items()}
+        d_new = float(np.linalg.norm(c_new[0] - c_new[1]))
+        assert d_new == pytest.approx(true_d, rel=1e-9)
+
+    def test_scaled_disagreeing_cues_warn(self, boot_volume):
+        v = boot_volume.optimize()
+        with pytest.warns(UserWarning, match="disagree"):
+            v.scaled(
+                CameraDistance(0, 1, meters=1.0, sigma_m=0.001),
+                CameraDistance(1, 2, meters=10.0, sigma_m=0.001),
+            )
+
+    def test_grounded_and_centered(self, boot_volume):
+        v = boot_volume.optimize()
+        g = v.grounded()
+        z = g.world_points.xyz[:, 2]
+        assert np.percentile(z, 1.0, method="lower") == pytest.approx(0.0, abs=1e-9)
+        cent = g.centered()
+        centers = np.array(
+            [-cam.rotation.T @ cam.translation for cam in cent.camera_array.posed_cameras.values()]
+        )
+        np.testing.assert_allclose(centers[:, :2].mean(axis=0), 0.0, atol=1e-9)
+
+    def test_oriented_maps_up_to_z(self, boot_volume):
+        v = boot_volume.optimize()
+        # claim each camera's up (world -Y is "up" in synthetic rigs looking at center)
+        up = {}
+        for cid, cam in v.camera_array.posed_cameras.items():
+            up[cid] = cam.rotation @ np.array([0.0, 0.0, 1.0])  # fabricate: world z as seen in cam
+        o = v.oriented(up)
+        # consensus up (world +Z direction) must now be +Z
+        # reconstruct: the rotation maps consensus to z; reprojection preserved
+        assert o.reprojection_report.overall_rmse == pytest.approx(
+            v.reprojection_report.overall_rmse, rel=1e-6
+        )
+        gz = o.grounded().world_points.xyz[:, 2]
+        assert np.percentile(gz, 1.0, method="lower") == pytest.approx(0.0, abs=1e-9)
+
+    def test_depth_ratio_gate_input(self, boot_volume):
+        ratios = boot_volume.depth_ratios()
+        assert set(ratios) == set(boot_volume.camera_array.posed_cameras)
+        assert all(r > 1.0 for r in ratios.values())
+
+    def test_volumetric_scale_accuracy(self, boot_volume):
+        v = boot_volume.optimize()
+        rep = v.compute_volumetric_scale_accuracy()
+        assert rep.n_frames_sampled > 0
+        assert rep.pooled_rmse_mm < 5.0  # sub-5mm scale accuracy at 0.5px noise
