@@ -71,6 +71,29 @@ def narrow_baseline_scene(n_frames: int = 20, separation_deg: float = 8.0, **kw)
     return SyntheticScene(cameras, [board], [traj], **kw)
 
 
+def depth_varied_scene(n_cameras: int = 4, n_frames: int = 24, **kw) -> SyntheticScene:
+    """Board spirals from near the ring center out toward the cameras, giving
+    every camera a near/far depth ratio > 2 — the regime where focal length is
+    jointly observable with extrinsics (the reference's wand-scene analog;
+    see calibrate_extrinsics depth-ratio gate)."""
+    from caliscope_tpu.synthetic.se3 import SE3Pose
+
+    cameras = CameraSynthesizer(LensProfile.webcam()).add_ring(n_cameras, radius=2.0, height=0.8).build()
+    board = CalibrationObject.planar_grid(object_id=0, rows=5, cols=7, spacing=0.054)
+    poses = []
+    for i in range(n_frames):
+        frac = i / max(n_frames - 1, 1)
+        phase = 2 * np.pi * 2.0 * frac
+        r = 0.15 + 1.25 * frac  # spiral outward
+        pos = np.array([r * np.cos(phase), r * np.sin(phase), 0.8 + 0.25 * np.sin(3 * phase)])
+        base = SE3Pose.look_at(pos, pos + pos + np.array([0, 0, 0.3]))
+        poses.append(base.with_pitch(0.4 * np.sin(2 * phase)))
+    from caliscope_tpu.synthetic.trajectory import Trajectory as _T
+
+    traj = _T(tuple(poses))
+    return SyntheticScene(cameras, [board], [traj], **kw)
+
+
 def sparse_coverage_scene(n_cameras: int = 6, n_frames: int = 30, **kw) -> SyntheticScene:
     """Wider ring + smaller orbit: distant camera pairs share few or no
     observations, forcing transitive pose chaining."""

@@ -56,12 +56,16 @@ class TestHeadlinePoseRecovery:
         assert r_c <= r_u + 1e-9
 
     def test_blind_intrinsics_synthesis_path(self):
-        """No intrinsics at all: pipeline synthesizes f=w/2 blind defaults and
-        still recovers the rig (looser bounds: intrinsics absorb error)."""
-        scene = default_ring_scene(noise_sigma_px=0.5)
+        """No intrinsics at all: pipeline synthesizes f=w/2 blind defaults,
+        the depth-rich scene passes the refinement gate, and the rig is
+        recovered (looser bounds: recovered intrinsics absorb some error)."""
+        from caliscope_tpu.synthetic.factories import depth_varied_scene
+
+        scene = depth_varied_scene(noise_sigma_px=0.5)
         cs = board_constraints(scene)
         run = run_production_pipeline(scene, constraints=cs, blind=True)
         assert run.result.synthesized_cam_ids == frozenset(scene.cameras.cameras.keys())
+        assert not run.result.intrinsic_refinement_gated
         assert run.max_rotation_deg <= 2.0
         assert run.max_translation_m <= 0.05
 

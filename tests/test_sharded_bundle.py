@@ -1,0 +1,72 @@
+"""Multi-device LM: sharded-vs-single-device equivalence on the virtual
+8-device CPU mesh (conftest sets xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from caliscope_tpu.parallel import make_obs_mesh, shard_problem, sharded_lm_iteration
+from caliscope_tpu.solvers.bundle import BAConfig, initial_cam9, lm_iteration, lm_solve, make_problem
+from caliscope_tpu.synthetic.factories import default_ring_scene
+
+
+@pytest.fixture(scope="module")
+def problem_setup():
+    scene = default_ring_scene(noise_sigma_px=0.5, n_frames=8)
+    ip = scene.image_points_noisy()
+    views = scene.cameras.device_views(posed_only=True)
+    id_to_idx = {int(c): i for i, c in enumerate(views.cam_ids)}
+    cam_idx = np.array([id_to_idx[int(c)] for c in ip.cam_id])
+    pt_idx, keys = ip.point_index()
+    wp = ip.triangulate(scene.cameras)
+    key_map = {tuple(k): i for i, k in enumerate(wp.keys())}
+    X0 = wp.xyz[np.array([key_map[tuple(k)] for k in keys])]
+    problem = make_problem(cam_idx, pt_idx, ip.img_xy, views.K, views.dist, views.fisheye)
+    cam9 = initial_cam9(scene.cameras)
+    rng = np.random.default_rng(5)
+    cam9[:, 3:6] += rng.normal(scale=0.02, size=(len(cam9), 3))
+    return problem, cam9, X0
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_iteration_matches_single_device(problem_setup):
+    problem, cam9, X0 = problem_setup
+    lam = np.asarray(1e-4, dtype=np.asarray(problem.uv).dtype)
+
+    c1, x1, l1, cost1, acc1 = lm_iteration(
+        problem, jnp.asarray(cam9), jnp.asarray(X0), jnp.asarray(lam), cg_max_iter=100
+    )
+
+    mesh = make_obs_mesh()
+    sharded = shard_problem(problem, mesh)
+    # padded rows are masked: results must match the unsharded solve
+    c2, x2, l2, cost2, acc2 = sharded_lm_iteration(sharded, cam9, X0, lam, mesh, cg_max_iter=100)
+
+    assert bool(acc1) == bool(acc2)
+    np.testing.assert_allclose(np.asarray(cost1), np.asarray(cost2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-8, atol=1e-12)
+
+
+def test_sharded_inputs_are_actually_distributed(problem_setup):
+    problem, _cam9, _X0 = problem_setup
+    mesh = make_obs_mesh()
+    sharded = shard_problem(problem, mesh)
+    assert len(sharded.uv.sharding.device_set) == 8
+    # each shard holds 1/8 of the padded axis
+    shard_rows = sharded.uv.addressable_shards[0].data.shape[0]
+    assert shard_rows == sharded.uv.shape[0] // 8
+
+
+def test_full_solve_on_sharded_problem(problem_setup):
+    """lm_solve accepts a sharded problem transparently (jit + GSPMD)."""
+    problem, cam9, X0 = problem_setup
+    mesh = make_obs_mesh()
+    sharded = shard_problem(problem, mesh)
+    res_ref = lm_solve(problem, cam9, X0, BAConfig(max_iter=20, solver="cg"))
+    res_sh = lm_solve(sharded, cam9, X0, BAConfig(max_iter=20, solver="cg"))
+    assert res_sh.cost_final == pytest.approx(res_ref.cost_final, rel=1e-8)
