@@ -1,0 +1,167 @@
+"""Benchmark: bundle-adjustment iteration throughput vs the reference engine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the canonical real-session scale (BASELINE.md — 141,422 observations,
+the `larger_calibration_post_monocal` session) synthesized as an 8-camera rig
+with ~35k world points, solved per LM iteration:
+  - ours:     one full jitted LM iteration (residual + jacfwd blocks + IRLS +
+              block-Jacobi PCG normal solve + damping update) on the default
+              JAX device (the TPU chip when present).
+  - baseline: one reference-engine iteration equivalent measured on CPU —
+              per-camera cv2.projectPoints with analytic Jacobian + scipy
+              sparse COO->CSR assembly, exactly the per-iteration work
+              scipy.optimize.least_squares(trf) drives in the reference
+              (/root/reference/src/caliscope/core/reprojection.py:75-233).
+
+vs_baseline = ours_iters_per_sec / baseline_iters_per_sec (higher is better).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_CAMERAS = 8
+N_POINTS = 35_000
+N_OBS = 141_422
+SEED = 7
+TIMED_ITERS = 20
+
+
+def _synth_problem():
+    """Random-but-realistic rig: 8-camera ring, points in a 2m cube, every
+    observation a (camera, point) pair with pixel noise."""
+    rng = np.random.default_rng(SEED)
+    from caliscope_tpu.ops import lie
+
+    # ring of cameras looking at origin
+    K = np.zeros((N_CAMERAS, 3, 3))
+    dist = np.zeros((N_CAMERAS, 5))
+    rvecs = np.zeros((N_CAMERAS, 3))
+    tvecs = np.zeros((N_CAMERAS, 3))
+    for i in range(N_CAMERAS):
+        a = 2 * np.pi * i / N_CAMERAS
+        c = np.array([3.0 * np.cos(a), 3.0 * np.sin(a), 1.2])
+        z = -c / np.linalg.norm(c)  # optical axis toward origin
+        x = np.cross(np.array([0.0, 0.0, 1.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], axis=0)
+        rvecs[i] = np.asarray(lie.so3_log(R))
+        tvecs[i] = -R @ c
+        K[i] = [[900.0, 0, 640], [0, 900.0, 360], [0, 0, 1]]
+        dist[i] = [0.1, -0.05, 0.001, -0.001, 0.01]
+
+    X = rng.uniform([-1, -1, -0.5], [1, 1, 1.5], size=(N_POINTS, 3))
+    cam_idx = rng.integers(0, N_CAMERAS, size=N_OBS)
+    pt_idx = rng.integers(0, N_POINTS, size=N_OBS)
+
+    import jax.numpy as jnp
+
+    from caliscope_tpu.ops.projection import project_points
+
+    uv = np.asarray(
+        project_points(
+            jnp.asarray(X[pt_idx]),
+            jnp.asarray(rvecs[cam_idx]),
+            jnp.asarray(tvecs[cam_idx]),
+            jnp.asarray(K[cam_idx]),
+            jnp.asarray(dist[cam_idx]),
+            False,
+        )
+    )
+    uv += rng.normal(scale=0.5, size=uv.shape)
+    return K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv
+
+
+def bench_ours(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
+    import jax
+    import jax.numpy as jnp
+
+    from caliscope_tpu.solvers.bundle import lm_iteration, make_problem
+
+    dtype = jnp.float32 if jax.devices()[0].platform == "tpu" else None
+    problem = make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool), dtype=dtype)
+    dt = np.asarray(problem.uv).dtype
+    cam9 = np.concatenate([rvecs, tvecs, np.ones((N_CAMERAS, 1)), dist[:, :2]], axis=1)
+    cam9 = jnp.asarray(cam9, dt)
+    Xj = jnp.asarray(X, dt)
+    lam = jnp.asarray(1e-4, dt)
+
+    step = lambda c, x, l: lm_iteration(problem, c, x, l, cg_max_iter=30)
+    # warmup/compile
+    out = step(cam9, Xj, lam)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    c, x, l = cam9, Xj, lam
+    for _ in range(TIMED_ITERS):
+        c, x, l, cost, _acc = step(c, x, l)
+    jax.block_until_ready((c, x, l))
+    dt_s = (time.perf_counter() - t0) / TIMED_ITERS
+    return dt_s, float(cost)
+
+
+def bench_reference_equivalent(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv, iters=3):
+    """Reference per-iteration work: cv2.projectPoints (+Jacobian) per camera,
+    COO->CSR sparse Jacobian assembly, J^T J normal product (what TRF's
+    subproblem consumes). CPU, like the reference."""
+    import cv2
+    from scipy import sparse
+
+    n_params = 9 * N_CAMERAS + 3 * N_POINTS
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rows_list, cols_list, vals_list = [], [], []
+        residuals = np.empty((N_OBS, 2))
+        for ci in range(N_CAMERAS):
+            m = cam_idx == ci
+            pts = X[pt_idx[m]]
+            proj, jac = cv2.projectPoints(
+                pts.reshape(-1, 1, 3), rvecs[ci], tvecs[ci], K[ci], dist[ci]
+            )
+            residuals[m] = proj.reshape(-1, 2) - uv[m]
+            # camera-block columns (rvec, tvec) from cv2's Jacobian
+            Jc = jac[:, :6].reshape(-1, 2, 6)
+            # world-point columns by chain rule d(proj)/dX = d(proj)/d(tvec) @ R
+            R, _ = cv2.Rodrigues(rvecs[ci])
+            Jp = jac[:, 3:6].reshape(-1, 2, 3) @ R
+            obs_rows = 2 * np.where(m)[0]
+            for k in range(6):
+                rows_list += [obs_rows, obs_rows + 1]
+                cols_list += [np.full(m.sum(), 9 * ci + k)] * 2
+                vals_list += [Jc[:, 0, k], Jc[:, 1, k]]
+            for k in range(3):
+                rows_list += [obs_rows, obs_rows + 1]
+                cols_list += [9 * N_CAMERAS + 3 * pt_idx[m] + k] * 2
+                vals_list += [Jp[:, 0, k], Jp[:, 1, k]]
+        rows = np.concatenate(rows_list)
+        cols = np.concatenate(cols_list)
+        vals = np.concatenate(vals_list)
+        J = sparse.coo_matrix((vals, (rows, cols)), shape=(2 * N_OBS, n_params)).tocsr()
+        g = J.T @ residuals.ravel()  # gradient product TRF evaluates
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    data = _synth_problem()
+    ours_s, cost = bench_ours(*data)
+    ref_s = bench_reference_equivalent(*data)
+    ours_ips = 1.0 / ours_s
+    ref_ips = 1.0 / ref_s
+    print(
+        json.dumps(
+            {
+                "metric": "ba_lm_iterations_per_sec_141k_obs",
+                "value": round(ours_ips, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(ours_ips / ref_ips, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -514,6 +514,52 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
     )
 
 
+@partial(jax.jit, static_argnames=("loss", "f_scale", "use_dense", "cg_tol", "cg_max_iter"))
+def lm_iteration(
+    problem: BAProblem,
+    cam9,
+    X,
+    lam,
+    *,
+    loss: str = "linear",
+    f_scale: float = 1.0,
+    use_dense: bool = False,
+    cg_tol: float = 1e-6,
+    cg_max_iter: int = 200,
+):
+    """One full Levenberg-Marquardt iteration (assembly + linear solve +
+    gain-ratio damping update) as a standalone jittable step.
+
+    This is the unit the benchmark and the multi-chip dry run drive: with the
+    observation-axis arrays of `problem` sharded over a mesh, XLA lowers the
+    segment-sum reductions inside to psums over ICI — identical code, SPMD
+    execution (see parallel/sharded.py).
+
+    Returns (cam9', X', lam', cost', accepted).
+    """
+    n_points = X.shape[0]
+    r, w, Jc, Jp, rq, qidx, Jq, cost = _masked_blocks(problem, cam9, X, loss, f_scale)
+    g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points)
+    if use_dense:
+        dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam)
+    else:
+        dxc, dxp = _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
+    cam9_new, X_new = cam9 + dxc, X + dxp
+    cost_new = _cost_only(problem, cam9_new, X_new, loss, f_scale)
+    accept = cost_new < cost
+    diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
+    diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
+    pred = 0.5 * (
+        lam * (jnp.sum(dxc * diag_c * dxc) + jnp.sum(dxp * diag_p * dxp))
+        - (jnp.sum(g_c * dxc) + jnp.sum(g_p * dxp))
+    )
+    rho = (cost - cost_new) / jnp.maximum(pred, 1e-30)
+    lam_new = jnp.where(accept, lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3), lam * 4.0)
+    cam9_out = jnp.where(accept, cam9_new, cam9)
+    X_out = jnp.where(accept, X_new, X)
+    return cam9_out, X_out, jnp.clip(lam_new, 1e-12, 1e10), jnp.minimum(cost, cost_new), accept
+
+
 def bound_warnings(cam9, proximity: float = 0.01) -> list[str]:
     """Warn when free intrinsics sit within `proximity` of their bounds
     (reference bundle_parameterization.py:232-278)."""
