@@ -24,11 +24,21 @@ import time
 
 import numpy as np
 
-N_CAMERAS = 8
-N_POINTS = 35_000
-N_OBS = 141_422
+import os
+
+N_CAMERAS = int(os.environ.get("CALISCOPE_BENCH_CAMS", 8))
+N_POINTS = int(os.environ.get("CALISCOPE_BENCH_PTS", 35_000))
+N_OBS = int(os.environ.get("CALISCOPE_BENCH_OBS", 141_422))
 SEED = 7
-TIMED_ITERS = 20
+TIMED_ITERS = int(os.environ.get("CALISCOPE_BENCH_ITERS", 20))
+VERBOSE = bool(os.environ.get("CALISCOPE_BENCH_VERBOSE"))
+
+
+def _log(msg):
+    if VERBOSE:
+        import sys, time
+
+        print(f"[bench +{time.perf_counter():.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _synth_problem():
@@ -73,7 +83,7 @@ def _synth_problem():
             False,
         )
     )
-    uv += rng.normal(scale=0.5, size=uv.shape)
+    uv = uv + rng.normal(scale=0.5, size=uv.shape)
     return K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv
 
 
@@ -93,8 +103,10 @@ def bench_ours(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
 
     step = lambda c, x, l: lm_iteration(problem, c, x, l, cg_max_iter=30)
     # warmup/compile
+    _log("compiling LM iteration")
     out = step(cam9, Xj, lam)
     jax.block_until_ready(out)
+    _log("compiled; timing")
     t0 = time.perf_counter()
     c, x, l = cam9, Xj, lam
     for _ in range(TIMED_ITERS):
@@ -146,9 +158,13 @@ def bench_reference_equivalent(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv, it
 
 
 def main():
+    _log("synthesizing problem")
     data = _synth_problem()
+    _log("benching ours")
     ours_s, cost = bench_ours(*data)
+    _log(f"ours {ours_s:.3f}s/iter; benching reference proxy")
     ref_s = bench_reference_equivalent(*data)
+    _log(f"reference proxy {ref_s:.3f}s/iter")
     ours_ips = 1.0 / ours_s
     ref_ips = 1.0 / ref_s
     print(
