@@ -41,17 +41,39 @@ def _log(msg):
         print(f"[bench +{time.perf_counter():.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _np_rodrigues_log(R):
+    """Pure-numpy SO(3) log (the setup must not touch the device — over a
+    tunneled TPU every tiny dispatch pays a network round trip)."""
+    cos = np.clip((np.trace(R) - 1) / 2, -1, 1)
+    ang = np.arccos(cos)
+    if ang < 1e-10:
+        return np.zeros(3)
+    axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]) / (2 * np.sin(ang))
+    return axis * ang
+
+
+def _np_project(X, R, t, K, dist):
+    """Pure-numpy Brown projection for test-data synthesis."""
+    xc = X @ R.T + t
+    xn = xc[:, :2] / xc[:, 2:3]
+    k1, k2, p1, p2, k3 = dist
+    r2 = np.sum(xn**2, axis=1)
+    radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    x, y = xn[:, 0], xn[:, 1]
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return np.stack([xd * K[0, 0] + K[0, 2], yd * K[1, 1] + K[1, 2]], axis=1)
+
+
 def _synth_problem():
     """Random-but-realistic rig: 8-camera ring, points in a 2m cube, every
-    observation a (camera, point) pair with pixel noise."""
+    observation a (camera, point) pair with pixel noise. All host-side numpy."""
     rng = np.random.default_rng(SEED)
-    from caliscope_tpu.ops import lie
-
-    # ring of cameras looking at origin
     K = np.zeros((N_CAMERAS, 3, 3))
     dist = np.zeros((N_CAMERAS, 5))
     rvecs = np.zeros((N_CAMERAS, 3))
     tvecs = np.zeros((N_CAMERAS, 3))
+    Rs = np.zeros((N_CAMERAS, 3, 3))
     for i in range(N_CAMERAS):
         a = 2 * np.pi * i / N_CAMERAS
         c = np.array([3.0 * np.cos(a), 3.0 * np.sin(a), 1.2])
@@ -60,7 +82,8 @@ def _synth_problem():
         x /= np.linalg.norm(x)
         y = np.cross(z, x)
         R = np.stack([x, y, z], axis=0)
-        rvecs[i] = np.asarray(lie.so3_log(R))
+        Rs[i] = R
+        rvecs[i] = _np_rodrigues_log(R)
         tvecs[i] = -R @ c
         K[i] = [[900.0, 0, 640], [0, 900.0, 360], [0, 0, 1]]
         dist[i] = [0.1, -0.05, 0.001, -0.001, 0.01]
@@ -68,21 +91,10 @@ def _synth_problem():
     X = rng.uniform([-1, -1, -0.5], [1, 1, 1.5], size=(N_POINTS, 3))
     cam_idx = rng.integers(0, N_CAMERAS, size=N_OBS)
     pt_idx = rng.integers(0, N_POINTS, size=N_OBS)
-
-    import jax.numpy as jnp
-
-    from caliscope_tpu.ops.projection import project_points
-
-    uv = np.asarray(
-        project_points(
-            jnp.asarray(X[pt_idx]),
-            jnp.asarray(rvecs[cam_idx]),
-            jnp.asarray(tvecs[cam_idx]),
-            jnp.asarray(K[cam_idx]),
-            jnp.asarray(dist[cam_idx]),
-            False,
-        )
-    )
+    uv = np.empty((N_OBS, 2))
+    for i in range(N_CAMERAS):
+        m = cam_idx == i
+        uv[m] = _np_project(X[pt_idx[m]], Rs[i], tvecs[i], K[i], dist[i])
     uv = uv + rng.normal(scale=0.5, size=uv.shape)
     return K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv
 
