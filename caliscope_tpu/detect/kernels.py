@@ -1,0 +1,366 @@
+"""Batched image kernels: threshold, connected components, quad extraction.
+
+The TPU-native replacement for OpenCV's contour-based marker candidate stage
+(cv2.aruco.ArucoDetector internals — reference trackers/aruco_tracker.py:76,
+charuco_tracker.py:98 delegate to it). Design:
+
+1. adaptive_threshold — local-mean binarization (separable box filter).
+2. connected_components — label propagation with segmented min-scans along
+   rows/columns (associative_scan) + 3x3 min pooling, fixed iterations. All
+   label state lives on device; no contour tracing.
+3. component stats — segment reductions keyed by label (area/centroid/bbox),
+   top-K area-band selection gives a STATIC K candidate slots per frame.
+4. extract_patches — each candidate's bbox is resampled to a fixed PxP patch
+   (bilinear), so all downstream work (corner finding, edge refinement, bit
+   sampling) is dense and statically shaped regardless of blob size.
+5. quad_corners_from_mask — farthest-point quadrilateral heuristic on the
+   patch mask; refine_quad_edges — gradient line fits + intersections for
+   subpixel corners.
+
+Everything batches over (B, H, W) frame stacks; per-frame Python loops never
+touch the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = jnp.inf
+
+
+def _box1d(x, radius: int, axis: int):
+    """Exact running mean along one axis (edge padding, cumsum trick)."""
+    k = 2 * radius + 1
+    x = jnp.moveaxis(x, axis, -1)
+    pad = [(0, 0)] * (x.ndim - 1) + [(radius, radius)]
+    xp = jnp.pad(x, pad, mode="edge")
+    c = jnp.cumsum(xp, axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+    out = (c[..., k:] - c[..., :-k]) / k
+    return jnp.moveaxis(out, -1, axis)
+
+
+def box_filter(images, radius: int):
+    """Local mean via separable box filter; (B, H, W) float."""
+    return _box1d(_box1d(images.astype(jnp.float32), radius, 1), radius, 2)
+
+
+def adaptive_threshold(images, radius: int = 10, c: float = 7.0):
+    """Dark-foreground binarization: pixel < local_mean - c.
+
+    Matches the role of cv2.adaptiveThreshold in the ArUco pipeline (the
+    reference's detector sweeps window sizes; one radius suffices here because
+    the local mean is computed exactly, not tiled)."""
+    mean = box_filter(images, radius)
+    return images < (mean - c)
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+
+def _segmented_min_scan(values, connected, reverse=False):
+    """Per-row segmented running min: `connected[i]` True means element i
+    joins element i-1's segment. Batched over leading axes; scan over last."""
+
+    def combine(a, b):
+        va, ca = a
+        vb, cb = b
+        return jnp.where(cb, jnp.minimum(va, vb), vb), ca & cb
+
+    vals = (values, connected)
+    out, _ = jax.lax.associative_scan(combine, vals, axis=values.ndim - 1, reverse=reverse)
+    return out
+
+
+def connected_components(mask, n_iters: int = 12):
+    """4-connected labeling of a (B, H, W) boolean mask.
+
+    Labels are linear pixel indices (min over the component after
+    convergence); background = H*W (one past the last valid label).
+    """
+    B, H, W = mask.shape
+    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W)
+    labels = jnp.where(mask, idx, jnp.int32(H * W))
+
+    def step(_, labels):
+        # horizontal segmented scans
+        conn_h = jnp.concatenate([jnp.zeros((B, H, 1), bool), mask[:, :, 1:] & mask[:, :, :-1]], axis=2)
+        labels = _segmented_min_scan(labels, conn_h)
+        conn_hr = jnp.concatenate([mask[:, :, 1:] & mask[:, :, :-1], jnp.zeros((B, H, 1), bool)], axis=2)
+        labels = _segmented_min_scan(labels, conn_hr, reverse=True)
+        # vertical segmented scans (transpose trick)
+        lt = jnp.swapaxes(labels, 1, 2)
+        mt = jnp.swapaxes(mask, 1, 2)
+        conn_v = jnp.concatenate([jnp.zeros((B, W, 1), bool), mt[:, :, 1:] & mt[:, :, :-1]], axis=2)
+        lt = _segmented_min_scan(lt, conn_v)
+        conn_vr = jnp.concatenate([mt[:, :, 1:] & mt[:, :, :-1], jnp.zeros((B, W, 1), bool)], axis=2)
+        lt = _segmented_min_scan(lt, conn_vr, reverse=True)
+        labels = jnp.swapaxes(lt, 1, 2)
+        return jnp.where(mask, labels, jnp.int32(H * W))
+
+    return jax.lax.fori_loop(0, n_iters, step, labels)
+
+
+def component_candidates(mask, labels, k_max: int, min_area: float, max_area_frac: float = 0.25):
+    """Top-K components by area within [min_area, max_area] per frame.
+
+    Returns (sel_labels (B, K), areas (B, K), bbox (B, K, 4) [x0, y0, x1, y1],
+    valid (B, K)). Uses segment reductions keyed by label value.
+    """
+    B, H, W = mask.shape
+    HW = H * W
+    fg = mask.reshape(B, HW)
+    lab = labels.reshape(B, HW)
+    xs = jnp.tile(jnp.arange(W, dtype=jnp.float32), H).reshape(1, HW)
+    ys = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W).reshape(1, HW)
+
+    def per_frame(fg_f, lab_f, xs_f, ys_f):
+        ones = fg_f.astype(jnp.float32)
+        area = jax.ops.segment_sum(ones, lab_f, num_segments=HW + 1)
+        x_min = jax.ops.segment_min(jnp.where(fg_f, xs_f, BIG), lab_f, num_segments=HW + 1)
+        x_max = jax.ops.segment_max(jnp.where(fg_f, xs_f, -BIG), lab_f, num_segments=HW + 1)
+        y_min = jax.ops.segment_min(jnp.where(fg_f, ys_f, BIG), lab_f, num_segments=HW + 1)
+        y_max = jax.ops.segment_max(jnp.where(fg_f, ys_f, -BIG), lab_f, num_segments=HW + 1)
+        max_area = max_area_frac * HW
+        eligible = (area[:HW] >= min_area) & (area[:HW] <= max_area)
+        # a quad blob's bbox area relates to its pixel area; reject threads
+        bw = x_max[:HW] - x_min[:HW] + 1
+        bh = y_max[:HW] - y_min[:HW] + 1
+        fill = area[:HW] / jnp.maximum(bw * bh, 1.0)
+        eligible &= (fill > 0.15) & (bw >= 4) & (bh >= 4)
+        score = jnp.where(eligible, area[:HW], -1.0)
+        top_area, top_lab = jax.lax.top_k(score, k_max)
+        valid = top_area > 0
+        bbox = jnp.stack(
+            [x_min[top_lab], y_min[top_lab], x_max[top_lab], y_max[top_lab]], axis=-1
+        )
+        return top_lab.astype(jnp.int32), top_area, bbox, valid
+
+    return jax.vmap(per_frame)(fg, lab, jnp.broadcast_to(xs, (B, HW)), jnp.broadcast_to(ys, (B, HW)))
+
+
+def bilinear_sample(image, xy):
+    """Sample (H, W) image at (..., 2) float pixel coords (x, y)."""
+    H, W = image.shape
+    x = jnp.clip(xy[..., 0], 0.0, W - 1.001)
+    y = jnp.clip(xy[..., 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = image[y0, x0]
+    v01 = image[y0, x0 + 1]
+    v10 = image[y0 + 1, x0]
+    v11 = image[y0 + 1, x0 + 1]
+    return (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
+
+
+def extract_patches(images, labels, sel_labels, bbox, patch: int, margin_frac: float = 0.15):
+    """Resample each candidate's (margin-padded) bbox to a fixed PxP patch.
+
+    Returns (gray (B, K, P, P), mask (B, K, P, P) bool, origin (B, K, 2),
+    scale (B, K, 2)) with image_xy = origin + patch_xy * scale.
+    """
+    B, H, W = images.shape
+    P = patch
+
+    def per_frame(img, lab, sl, bb):
+        def per_comp(l, box):
+            x0, y0, x1, y1 = box
+            w = x1 - x0
+            h = y1 - y0
+            mx = margin_frac * w + 1
+            my = margin_frac * h + 1
+            ox = x0 - mx
+            oy = y0 - my
+            sx = (w + 2 * mx) / (P - 1)
+            sy = (h + 2 * my) / (P - 1)
+            gx = ox + jnp.arange(P, dtype=jnp.float32) * sx
+            gy = oy + jnp.arange(P, dtype=jnp.float32) * sy
+            xy = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)  # (P,P,2)
+            gray = bilinear_sample(img, xy)
+            # nearest-neighbor label membership
+            xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, W - 1)
+            yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, H - 1)
+            m = lab[yi, xi] == l
+            return gray, m, jnp.stack([ox, oy]), jnp.stack([sx, sy])
+
+        return jax.vmap(per_comp)(sl, bb)
+
+    return jax.vmap(per_frame)(images.astype(jnp.float32), labels, sel_labels, bbox)
+
+
+def quad_corners_from_mask(mask):
+    """Farthest-point quadrilateral from a (..., P, P) boolean mask.
+
+    A = farthest from centroid; B = farthest from A; C = max |cross| from AB;
+    D = max cross on the opposite side. Returns (..., 4, 2) patch coords
+    ordered counter-clockwise starting from an arbitrary corner.
+    """
+    *lead, P, _ = mask.shape
+    xs = jnp.arange(P, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, xs, indexing="xy")
+    pts = jnp.stack([gx, gy], axis=-1).reshape(P * P, 2)
+
+    def one(m):
+        w = m.reshape(P * P).astype(jnp.float32)
+        n = jnp.maximum(w.sum(), 1.0)
+        cen = (w[:, None] * pts).sum(0) / n
+
+        def far_from(q):
+            d = jnp.sum((pts - q) ** 2, axis=1) * w - (1 - w) * 1e9
+            return pts[jnp.argmax(d)]
+
+        A = far_from(cen)
+        Bc = far_from(A)
+        ab = Bc - A
+        cross = (pts[:, 0] - A[0]) * ab[1] - (pts[:, 1] - A[1]) * ab[0]
+        cross = jnp.where(w > 0, cross, 0.0)
+        C = pts[jnp.argmax(cross)]
+        D = pts[jnp.argmin(cross)]
+        quad = jnp.stack([A, C, Bc, D])  # A-C-B-D walks around the hull
+        # order counter-clockwise by angle around the centroid
+        qcen = quad.mean(0)
+        ang = jnp.arctan2(quad[:, 1] - qcen[1], quad[:, 0] - qcen[0])
+        order = jnp.argsort(ang)
+        return quad[order]
+
+    flat = mask.reshape((-1, P, P))
+    out = jax.vmap(one)(flat)
+    return out.reshape(*lead, 4, 2)
+
+
+def refine_quad_edges(gray, quads, n_samples: int = 24, search: float = 2.5, n_search: int = 11, shrink: float = 0.08):
+    """Subpixel quad corners via gradient edge fitting.
+
+    For each edge: sample points along the (slightly shrunk) segment, probe
+    the gradient magnitude along the edge normal, take the soft-argmax
+    position, fit a line (total least squares), intersect adjacent lines.
+    gray: (..., P, P); quads: (..., 4, 2). Returns refined (..., 4, 2).
+    """
+    *lead, P, _ = gray.shape
+
+    def one(img, quad):
+        # image gradients (central differences)
+        gx_img = jnp.zeros_like(img).at[:, 1:-1].set((img[:, 2:] - img[:, :-2]) * 0.5)
+        gy_img = jnp.zeros_like(img).at[1:-1, :].set((img[2:, :] - img[:-2, :]) * 0.5)
+
+        def edge_line(a, b):
+            t = jnp.linspace(shrink, 1.0 - shrink, n_samples)[:, None]
+            base = a[None, :] + t * (b - a)[None, :]
+            d = b - a
+            norm = jnp.maximum(jnp.linalg.norm(d), 1e-6)
+            normal = jnp.stack([-d[1], d[0]]) / norm
+            offs = jnp.linspace(-search, search, n_search)[:, None, None]
+            probe = base[None, :, :] + offs * normal[None, None, :]  # (S, n, 2)
+            gmag = jnp.abs(
+                bilinear_sample(gx_img, probe) * normal[0] + bilinear_sample(gy_img, probe) * normal[1]
+            )
+            wsoft = jax.nn.softmax(gmag * 2.0, axis=0)
+            off_star = jnp.sum(wsoft * offs[:, :, 0], axis=0)  # (n,)
+            pts_e = base + off_star[:, None] * normal[None, :]
+            weight = jnp.max(gmag, axis=0)
+            weight = weight / jnp.maximum(weight.sum(), 1e-6)
+            # total least squares line fit: centroid + dominant direction
+            cen = jnp.sum(weight[:, None] * pts_e, axis=0)
+            dp = pts_e - cen
+            cov = (weight[:, None, None] * dp[:, :, None] * dp[:, None, :]).sum(0)
+            _, vecs = jnp.linalg.eigh(cov)
+            direction = vecs[:, 1]
+            return cen, direction
+
+        cens, dirs = jax.vmap(lambda i: edge_line(quad[i], quad[(i + 1) % 4]))(jnp.arange(4))
+
+        def intersect(c1, d1, c2, d2):
+            # c1 + t1 d1 = c2 + t2 d2
+            A = jnp.stack([d1, -d2], axis=1)
+            rhs = c2 - c1
+            det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+            safe = jnp.abs(det) > 1e-9
+            t = jnp.linalg.solve(jnp.where(safe, A, jnp.eye(2)), rhs)
+            return jnp.where(safe, c1 + t[0] * d1, (c1 + c2) * 0.5)
+
+        corners = jax.vmap(
+            lambda i: intersect(cens[(i + 3) % 4], dirs[(i + 3) % 4], cens[i % 4], dirs[i % 4])
+        )(jnp.arange(4))
+        return corners
+
+    flat_g = gray.reshape((-1, P, P))
+    flat_q = quads.reshape((-1, 4, 2))
+    out = jax.vmap(one)(flat_g, flat_q)
+    return out.reshape(*lead, 4, 2)
+
+
+def homography_from_unit_square(quad):
+    """Closed-form homography mapping the unit square (0,0)-(1,0)-(1,1)-(0,1)
+    to quad corners (..., 4, 2) in order [TL, TR, BR, BL]."""
+    x0, y0 = quad[..., 0, 0], quad[..., 0, 1]
+    x1, y1 = quad[..., 1, 0], quad[..., 1, 1]
+    x2, y2 = quad[..., 2, 0], quad[..., 2, 1]
+    x3, y3 = quad[..., 3, 0], quad[..., 3, 1]
+    dx1 = x1 - x2
+    dx2 = x3 - x2
+    dy1 = y1 - y2
+    dy2 = y3 - y2
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    den = dx1 * dy2 - dx2 * dy1
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    g = (sx * dy2 - sy * dx2) / den
+    h = (dx1 * sy - dy1 * sx) / den
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    c = x0
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    f = y0
+    H = jnp.stack(
+        [
+            jnp.stack([a, b, c], axis=-1),
+            jnp.stack([d, e, f], axis=-1),
+            jnp.stack([g, h, jnp.ones_like(a)], axis=-1),
+        ],
+        axis=-2,
+    )
+    return H
+
+
+def sample_marker_bits(gray, quad, n_bits: int, subsamples: int = 3):
+    """Sample the (n_bits + 2)^2 cell grid (border included) of a marker quad.
+
+    gray: (..., P, P) patch; quad: (..., 4, 2) patch coords ordered
+    [TL, TR, BR, BL]. Returns cell means (..., n+2, n+2) in [0, 1]-ish gray.
+    Projective sampling through the closed-form unit-square homography.
+    """
+    *lead, P, _ = gray.shape
+    n_tot = n_bits + 2
+    # cell-center subsample offsets in unit-square coordinates
+    ss = (jnp.arange(subsamples) + 0.5) / subsamples / n_tot
+    base = jnp.arange(n_tot) / n_tot
+    u = base[:, None] + ss[None, :]  # (n_tot, S)
+
+    H = homography_from_unit_square(quad)  # (..., 3, 3)
+
+    def one(img, Hm):
+        uv = u.reshape(-1)  # (n_tot * S,)
+        U = jnp.broadcast_to(uv[None, :], (uv.shape[0], uv.shape[0]))  # x/u varies along cols
+        V = jnp.broadcast_to(uv[:, None], (uv.shape[0], uv.shape[0]))  # y/v varies along rows
+        pts = jnp.stack([U, V, jnp.ones_like(U)], axis=-1)
+        proj = jnp.einsum("ij,abj->abi", Hm, pts)
+        w = proj[..., 2:3]
+        w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+        xy = proj[..., :2] / w
+        vals = bilinear_sample(img, xy)  # (rows=v, cols=u)
+        S = subsamples
+        return vals.reshape(n_tot, S, n_tot, S).mean(axis=(1, 3))
+
+    flat_g = gray.reshape((-1, P, P))
+    flat_H = H.reshape((-1, 3, 3))
+    out = jax.vmap(one)(flat_g, flat_H)
+    return out.reshape(*lead, n_tot, n_tot)
