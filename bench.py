@@ -100,32 +100,24 @@ def _synth_problem():
 
 
 def bench_ours(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
-    import jax
-    import jax.numpy as jnp
+    """Time the full LM solve — ONE jitted lax.while_loop dispatch running
+    exactly TIMED_ITERS iterations (ftol/gtol zeroed), end-to-end including
+    the result readback. This is the production execution shape: the entire
+    optimization is a single device program, so per-dispatch host/tunnel
+    latency amortizes to nothing."""
+    from caliscope_tpu.solvers.bundle import BAConfig, lm_solve, make_problem
 
-    from caliscope_tpu.solvers.bundle import lm_iteration, make_problem
-
-    dtype = jnp.float32 if jax.devices()[0].platform == "tpu" else None
-    problem = make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool), dtype=dtype)
-    dt = np.asarray(problem.uv).dtype
+    problem = make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool))
     cam9 = np.concatenate([rvecs, tvecs, np.ones((N_CAMERAS, 1)), dist[:, :2]], axis=1)
-    cam9 = jnp.asarray(cam9, dt)
-    Xj = jnp.asarray(X, dt)
-    lam = jnp.asarray(1e-4, dt)
-
-    step = lambda c, x, l: lm_iteration(problem, c, x, l, cg_max_iter=30)
-    # warmup/compile
-    _log("compiling LM iteration")
-    out = step(cam9, Xj, lam)
-    jax.block_until_ready(out)
+    config = BAConfig(max_iter=TIMED_ITERS, ftol=0.0, gtol=0.0, solver="cg", cg_max_iter=30)
+    _log("compiling + warmup solve")
+    lm_solve(problem, cam9, X, config)
     _log("compiled; timing")
     t0 = time.perf_counter()
-    c, x, l = cam9, Xj, lam
-    for _ in range(TIMED_ITERS):
-        c, x, l, cost, _acc = step(c, x, l)
-    jax.block_until_ready((c, x, l))
-    dt_s = (time.perf_counter() - t0) / TIMED_ITERS
-    return dt_s, float(cost)
+    res = lm_solve(problem, cam9, X, config)
+    wall = time.perf_counter() - t0
+    assert res.n_iterations == TIMED_ITERS, res.n_iterations
+    return wall / res.n_iterations, res.cost_final
 
 
 def bench_reference_equivalent(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv, iters=3):

@@ -1,0 +1,145 @@
+"""Chessboard X-corner detection: ring response, NMS, subpixel refinement.
+
+The TPU-native replacement for cv2.findChessboardCorners + cv2.cornerSubPix
+(reference trackers/chessboard_tracker.py:91, charuco_tracker.py:93-121).
+
+- chess_corner_response: a ChESS-style ring detector (Bennett & Lasenby) —
+  around an X-corner, intensity on a sampling ring alternates with period pi,
+  so diametrically opposite samples agree while quarter-turn samples differ.
+  Pure gather/elementwise work, batched over a frame stack.
+- nms_corners: max-pool non-maximum suppression + top-K extraction (static K).
+- refine_corners_subpix: the cornerSubPix saddle condition — every image
+  gradient in a window is orthogonal to the offset from the true corner:
+  solve sum(w * grad gradT)(c - p) = 0, iterated with bilinear resampling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from caliscope_tpu.detect.kernels import bilinear_sample
+
+
+def _ring_offsets(radius: float, n: int = 16) -> np.ndarray:
+    ang = 2 * np.pi * np.arange(n) / n
+    return np.stack([radius * np.cos(ang), radius * np.sin(ang)], axis=1)
+
+
+def chess_corner_response(images, radius: float = 4.0):
+    """(B, H, W) float -> (B, H, W) X-corner response (>= 0, higher = cornerier)."""
+    B, H, W = images.shape
+    offs = _ring_offsets(radius)
+    n = len(offs)
+    imgs = images.astype(jnp.float32)
+
+    # gather ring samples by shifting whole images (pad + slice; offsets are
+    # fractional -> bilinear blend of 4 integer shifts)
+    def shifted(img, dx, dy):
+        # integer + fractional decomposition
+        ix, iy = int(np.floor(dx)), int(np.floor(dy))
+        fx, fy = dx - ix, dy - iy
+        pad = int(np.ceil(radius)) + 1
+
+        p = jnp.pad(img, ((pad, pad), (pad, pad)), mode="edge")
+
+        def sl(ddx, ddy):
+            return jax.lax.dynamic_slice(p, (pad + iy + ddy, pad + ix + ddx), (H, W))
+
+        return (
+            (1 - fy) * ((1 - fx) * sl(0, 0) + fx * sl(1, 0))
+            + fy * ((1 - fx) * sl(0, 1) + fx * sl(1, 1))
+        )
+
+    def per_frame(img):
+        rs = jnp.stack([shifted(img, float(o[0]), float(o[1])) for o in offs])  # (n, H, W)
+        # sum response: agreement across the diameter
+        sr = sum(jnp.abs(rs[i] - rs[(i + n // 2) % n]) for i in range(n // 2))
+        # diff response: disagreement at quarter turn
+        dr = sum(jnp.abs(rs[i] - rs[(i + n // 4) % n]) for i in range(n // 2))
+        # local mean term suppresses edges/lines
+        mean_ring = jnp.mean(rs, axis=0)
+        mr = jnp.abs(mean_ring - img) * (n // 2) * 0.5
+        return jnp.maximum(dr - sr - mr, 0.0)
+
+    return jax.vmap(per_frame)(imgs)
+
+
+def nms_corners(response, k_max: int, rel_threshold: float = 0.2, window: int = 5, border: int = 6):
+    """Top-K local maxima per frame. Returns (xy (B, K, 2) float, score (B, K),
+    valid (B, K))."""
+    B, H, W = response.shape
+    r = window // 2
+    pooled = jax.lax.reduce_window(
+        response, -jnp.inf, jax.lax.max, (1, window, window), (1, 1, 1), "SAME"
+    )
+    is_peak = (response >= pooled) & (response > 0)
+    # suppress image border peaks
+    ys = jnp.arange(H)[None, :, None]
+    xs = jnp.arange(W)[None, None, :]
+    inb = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
+    score = jnp.where(is_peak & inb, response, 0.0)
+    flat = score.reshape(B, -1)
+    top, idx = jax.lax.top_k(flat, k_max)
+    thr = rel_threshold * jnp.max(top, axis=1, keepdims=True)
+    valid = top > jnp.maximum(thr, 1e-6)
+    xy = jnp.stack([(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], axis=-1)
+    return xy, top, valid
+
+
+@partial(jax.jit, static_argnames=("win", "iters"))
+def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
+    """cornerSubPix-equivalent saddle refinement.
+
+    images: (B, H, W); xy: (B, K, 2) integer-ish seeds. Returns (B, K, 2)
+    subpixel corners. Gaussian-weighted window, gradients resampled
+    bilinearly around the moving estimate each iteration.
+    """
+    B, H, W = images.shape
+    imgs = images.astype(jnp.float32)
+    gx = jnp.zeros_like(imgs).at[:, :, 1:-1].set((imgs[:, :, 2:] - imgs[:, :, :-2]) * 0.5)
+    gy = jnp.zeros_like(imgs).at[:, 1:-1, :].set((imgs[:, 2:, :] - imgs[:, :-2, :]) * 0.5)
+
+    d = jnp.arange(-win, win + 1, dtype=jnp.float32)
+    wx, wy = jnp.meshgrid(d, d, indexing="xy")
+    gauss = jnp.exp(-(wx**2 + wy**2) / (2.0 * (win / 1.5) ** 2))
+
+    def one(gx_f, gy_f, c0):
+        def body(_, c):
+            px = c[0] + wx
+            py = c[1] + wy
+            pts = jnp.stack([px, py], axis=-1)
+            gxx = bilinear_sample(gx_f, pts)
+            gyy = bilinear_sample(gy_f, pts)
+            a = jnp.sum(gauss * gxx * gxx)
+            b = jnp.sum(gauss * gxx * gyy)
+            cc = jnp.sum(gauss * gyy * gyy)
+            bx = jnp.sum(gauss * (gxx * gxx * px + gxx * gyy * py))
+            by = jnp.sum(gauss * (gxx * gyy * px + gyy * gyy * py))
+            G = jnp.array([[a, b], [b, cc]])
+            rhs = jnp.array([bx, by])
+            det = a * cc - b * b
+            new = jnp.where(jnp.abs(det) > 1e-9, jnp.linalg.solve(G + 1e-9 * jnp.eye(2), rhs), c)
+            # bound the update to the window to avoid divergence on bad seeds
+            return c + jnp.clip(new - c, -1.5, 1.5)
+
+        return jax.lax.fori_loop(0, iters, body, c0)
+
+    def per_frame(gx_f, gy_f, pts):
+        return jax.vmap(lambda c: one(gx_f, gy_f, c))(pts)
+
+    return jax.vmap(per_frame)(gx, gy, xy)
+
+
+@partial(jax.jit, static_argnames=("k_max",))
+def detect_x_corners_device(images, k_max: int):
+    """Full device program: response -> NMS -> subpixel. (B, H, W) uint8 in,
+    (xy (B, K, 2), score (B, K), valid (B, K)) out."""
+    imgs = images.astype(jnp.float32)
+    resp = chess_corner_response(imgs)
+    xy, score, valid = nms_corners(resp, k_max)
+    xy = refine_corners_subpix(imgs, xy)
+    return xy, score, valid

@@ -158,23 +158,27 @@ def make_problem(
     if obs_mask is None:
         obs_mask = np.ones(N, bool)
     fx = np.asarray(K0)[:, 0, 0]
-    return BAProblem(
-        cam_idx=jnp.asarray(cam_idx, jnp.int32),
-        pt_idx=jnp.asarray(pt_idx, jnp.int32),
-        uv=jnp.asarray(uv, dtype),
-        obs_mask=jnp.asarray(obs_mask, bool),
-        K0=jnp.asarray(K0, dtype),
-        dist0=jnp.asarray(dist0, dtype),
-        fisheye=jnp.asarray(fisheye, bool),
-        inv_fx=jnp.asarray(1.0 / fx, dtype),
-        param_free=jnp.asarray(param_free, bool),
-        con_pa_idx=jnp.asarray(pa_idx, jnp.int32),
-        con_pa_w=jnp.asarray(pa_w, dtype),
-        con_pb_idx=jnp.asarray(pb_idx, jnp.int32),
-        con_pb_w=jnp.asarray(pb_w, dtype),
-        con_target=jnp.asarray(target, dtype),
-        con_weight=jnp.asarray(weight, dtype),
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    # Assemble host-side, then ONE device_put of the whole pytree — on a
+    # tunneled device every individual dispatch pays a network round trip.
+    host = BAProblem(
+        cam_idx=np.asarray(cam_idx, np.int32),
+        pt_idx=np.asarray(pt_idx, np.int32),
+        uv=np.asarray(uv, np_dtype),
+        obs_mask=np.asarray(obs_mask, bool),
+        K0=np.asarray(K0, np_dtype),
+        dist0=np.asarray(dist0, np_dtype),
+        fisheye=np.asarray(fisheye, bool),
+        inv_fx=np.asarray(1.0 / fx, np_dtype),
+        param_free=np.asarray(param_free, bool),
+        con_pa_idx=np.asarray(pa_idx, np.int32),
+        con_pa_w=np.asarray(pa_w, np_dtype),
+        con_pb_idx=np.asarray(pb_idx, np.int32),
+        con_pb_w=np.asarray(pb_w, np_dtype),
+        con_target=np.asarray(target, np_dtype),
+        con_weight=np.asarray(weight, np_dtype),
     )
+    return jax.device_put(host)
 
 
 def initial_cam9(camera_array, cam_ids=None) -> np.ndarray:
@@ -487,12 +491,16 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
     lb[:, 6:] = INTRINSIC_LOWER
     ub[:, 6:] = INTRINSIC_UPPER
 
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    cam9_d, X_d, lb_d, ub_d = jax.device_put(
+        (np.asarray(cam9_0, np_dtype), np.asarray(X0, np_dtype), lb.astype(np_dtype), ub.astype(np_dtype))
+    )
     cam9, X, cost0, cost, it, done, gnorm = _lm_run(
         problem,
-        jnp.asarray(cam9_0, dtype),
-        jnp.asarray(X0, dtype),
-        jnp.asarray(lb, dtype),
-        jnp.asarray(ub, dtype),
+        cam9_d,
+        X_d,
+        lb_d,
+        ub_d,
         loss=config.loss,
         f_scale=float(config.f_scale),
         max_iter=config.max_iter,

@@ -1,0 +1,163 @@
+"""ChArUco corner tracker: markers -> board homography -> X-corner snap.
+
+Parity: reference src/caliscope/trackers/charuco_tracker.py:16-143 —
+corner identity (object_id 0, keypoint_id = chessboard corner index),
+mirror detection with a per-camera hint cache (:56-69, avoids the
+wrong-orientation retry cost), two-sided identity split (back face =
+object_id 1 at obj_loc z = +thickness, :77-85).
+
+TPU-native pipeline (vs cv2.aruco.CharucoDetector.detectBoard + cornerSubPix):
+1. detect ArUco markers (detect/aruco.py — one batched device program);
+2. fit the board->image homography from decoded marker corners (the board is
+   planar, so one homography is exact);
+3. project expected chessboard corners, snap each to the nearest detected
+   X-corner (detect/corners.py response + NMS + saddle subpixel);
+4. unmatched expected corners are simply not emitted (partial boards fine).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from caliscope_tpu.detect.aruco import detect_markers
+from caliscope_tpu.detect.corners import detect_x_corners_device
+from caliscope_tpu.packets import PixelFormat, PointPacket
+from caliscope_tpu.targets.charuco import Charuco
+from caliscope_tpu.tracker import Tracker
+
+logger = logging.getLogger(__name__)
+
+MIN_MARKERS_FOR_BOARD = 1
+X_CORNER_KMAX = 256
+
+
+def _fit_homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray | None:
+    """Plain-numpy normalized DLT (board plane -> image)."""
+    from caliscope_tpu.frame_selector import _frame_homography
+
+    return _frame_homography(src, dst)
+
+
+class CharucoTracker(Tracker):
+    def __init__(self, charuco: Charuco, snap_radius_frac: float = 0.35):
+        self.charuco = charuco
+        self.snap_radius_frac = snap_radius_frac
+        self._mirror_hint: dict[int, bool] = {}  # cam_id -> saw mirrored last
+        self._marker_board_corners = self._compute_marker_board_corners()
+
+    @property
+    def name(self) -> str:
+        return "CHARUCO"
+
+    @property
+    def pixel_format(self) -> PixelFormat:
+        return PixelFormat.GRAY
+
+    # ---- board geometry -----------------------------------------------------
+    def _compute_marker_board_corners(self) -> dict[int, np.ndarray]:
+        """marker_id -> (4, 2) board-frame corner coords [TL, TR, BR, BL]
+        (y down, matching the rendered board and image coords)."""
+        s = self.charuco.square_size_m
+        a = self.charuco.aruco_scale * s
+        m = (s - a) / 2
+        out = {}
+        for mid, (c, r) in enumerate(self.charuco.marker_square_positions()):
+            x0, y0 = c * s + m, r * s + m
+            out[mid] = np.array([[x0, y0], [x0 + a, y0], [x0 + a, y0 + a], [x0, y0 + a]])
+        return out
+
+    def _board_inner_corners_2d(self) -> np.ndarray:
+        return self.charuco.chessboard_corners()[:, :2]
+
+    # ---- detection ----------------------------------------------------------
+    def _detect_face(self, gray: np.ndarray):
+        """Detect on one orientation. Returns (keypoint_ids, img_xy) or None."""
+        dets = detect_markers(gray[None], self.charuco.dictionary)[0]
+        if len(dets) < MIN_MARKERS_FOR_BOARD:
+            return None
+        src, dst = [], []
+        for mid, corners in zip(dets.ids, dets.corners):
+            board = self._marker_board_corners.get(int(mid))
+            if board is None:
+                continue
+            src.append(board)
+            dst.append(corners)
+        if not src:
+            return None
+        src = np.concatenate(src)
+        dst = np.concatenate(dst)
+        H = _fit_homography(src, dst)
+        if H is None:
+            return None
+
+        inner = self._board_inner_corners_2d()
+        ones = np.ones((len(inner), 1))
+        proj = (H @ np.hstack([inner, ones]).T).T
+        expected = proj[:, :2] / proj[:, 2:3]
+
+        # detected X-corners (device program)
+        xy, _score, valid = detect_x_corners_device(gray[None].astype(np.float32), k_max=X_CORNER_KMAX)
+        cand = np.asarray(xy)[0][np.asarray(valid)[0]]
+        if len(cand) == 0:
+            return None
+
+        # snap radius from the observed marker scale
+        marker_px = np.median(
+            [np.linalg.norm(c[0] - c[1]) for c in dets.corners]
+        )
+        square_px = marker_px / self.charuco.aruco_scale
+        radius = self.snap_radius_frac * square_px
+
+        d2 = np.sum((expected[:, None, :] - cand[None, :, :]) ** 2, axis=2)
+        nearest = np.argmin(d2, axis=1)
+        dist = np.sqrt(d2[np.arange(len(expected)), nearest])
+        keep = dist < radius
+        # one candidate must not serve two expected corners: keep closest
+        chosen: dict[int, int] = {}
+        for k in np.where(keep)[0]:
+            c = int(nearest[k])
+            if c not in chosen or dist[k] < dist[chosen[c]]:
+                chosen[c] = k
+        kps = sorted(chosen.values())
+        if not kps:
+            return None
+        return np.asarray(kps, np.int64), cand[nearest[kps]]
+
+    def _detect(self, frame: np.ndarray, cam_id: int = 0, rotation_count: int = 0) -> PointPacket:
+        gray = frame if frame.ndim == 2 else frame.mean(axis=2)
+        orders = [False, True] if not self._mirror_hint.get(cam_id, False) else [True, False]
+        if not self.charuco.two_sided:
+            orders = [False]
+
+        for mirrored in orders:
+            g = gray[:, ::-1] if mirrored else gray
+            result = self._detect_face(np.ascontiguousarray(g))
+            if result is None:
+                continue
+            kps, img_xy = result
+            if mirrored:
+                img_xy = img_xy.copy()
+                img_xy[:, 0] = gray.shape[1] - 1 - img_xy[:, 0]
+                self._mirror_hint[cam_id] = True
+                object_id = 1
+                obj_loc = self.charuco.object_corners(1)[kps]
+            else:
+                self._mirror_hint[cam_id] = False
+                object_id = 0
+                obj_loc = self.charuco.object_corners(0)[kps]
+            return PointPacket(
+                object_id=np.full(len(kps), object_id),
+                keypoint_id=kps,
+                img_loc=img_xy,
+                obj_loc=obj_loc,
+            )
+        return PointPacket.empty()
+
+    # ---- metadata -----------------------------------------------------------
+    def get_point_name(self, keypoint_id: int) -> str:
+        return f"corner_{int(keypoint_id)}"
+
+    def get_connected_points(self) -> set[tuple[int, int]]:
+        return set(self.charuco.connectivity())
