@@ -122,7 +122,11 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
             G = jnp.array([[a, b], [b, cc]])
             rhs = jnp.array([bx, by])
             det = a * cc - b * b
-            new = jnp.where(jnp.abs(det) > 1e-9, jnp.linalg.solve(G + 1e-9 * jnp.eye(2), rhs), c)
+            new = jnp.where(
+                jnp.abs(det) > 1e-9,
+                jnp.linalg.solve(G + 1e-9 * jnp.eye(2, dtype=G.dtype), rhs),
+                c,
+            ).astype(c.dtype)
             # bound the update to the window to avoid divergence on bad seeds
             return c + jnp.clip(new - c, -1.5, 1.5)
 

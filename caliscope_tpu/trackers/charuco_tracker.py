@@ -92,6 +92,17 @@ class CharucoTracker(Tracker):
         if H is None:
             return None
 
+        # Consistency gate: decoded markers must agree on ONE board
+        # homography. A mirrored board whose flipped bit patterns alias to
+        # other valid ids produces wildly inconsistent placements here.
+        ones = np.ones((len(src), 1))
+        reproj = (H @ np.hstack([src, ones]).T).T
+        reproj = reproj[:, :2] / reproj[:, 2:3]
+        marker_px = np.median([np.linalg.norm(c[0] - c[1]) for c in dets.corners])
+        resid = np.linalg.norm(reproj - dst, axis=1)
+        if np.median(resid) > max(3.0, 0.08 * marker_px):
+            return None
+
         inner = self._board_inner_corners_2d()
         ones = np.ones((len(inner), 1))
         proj = (H @ np.hstack([inner, ones]).T).T
@@ -131,29 +142,40 @@ class CharucoTracker(Tracker):
         if not self.charuco.two_sided:
             orders = [False]
 
+        # A mirrored board can partially alias to valid front-face ids (some
+        # dictionary patterns are near-symmetric), so a weak first result does
+        # not end the search: evaluate the other face and keep the stronger.
+        best = None  # (n_corners, mirrored, kps, img_xy)
         for mirrored in orders:
             g = gray[:, ::-1] if mirrored else gray
             result = self._detect_face(np.ascontiguousarray(g))
             if result is None:
                 continue
             kps, img_xy = result
-            if mirrored:
-                img_xy = img_xy.copy()
-                img_xy[:, 0] = gray.shape[1] - 1 - img_xy[:, 0]
-                self._mirror_hint[cam_id] = True
-                object_id = 1
-                obj_loc = self.charuco.object_corners(1)[kps]
-            else:
-                self._mirror_hint[cam_id] = False
-                object_id = 0
-                obj_loc = self.charuco.object_corners(0)[kps]
-            return PointPacket(
-                object_id=np.full(len(kps), object_id),
-                keypoint_id=kps,
-                img_loc=img_xy,
-                obj_loc=obj_loc,
-            )
-        return PointPacket.empty()
+            if best is None or len(kps) > best[0]:
+                best = (len(kps), mirrored, kps, img_xy)
+            if len(kps) >= 0.6 * self.charuco.n_corners:
+                break
+
+        if best is None:
+            return PointPacket.empty()
+        _n, mirrored, kps, img_xy = best
+        if mirrored:
+            img_xy = img_xy.copy()
+            img_xy[:, 0] = gray.shape[1] - 1 - img_xy[:, 0]
+            self._mirror_hint[cam_id] = True
+            object_id = 1
+            obj_loc = self.charuco.object_corners(1)[kps]
+        else:
+            self._mirror_hint[cam_id] = False
+            object_id = 0
+            obj_loc = self.charuco.object_corners(0)[kps]
+        return PointPacket(
+            object_id=np.full(len(kps), object_id),
+            keypoint_id=kps,
+            img_loc=img_xy,
+            obj_loc=obj_loc,
+        )
 
     # ---- metadata -----------------------------------------------------------
     def get_point_name(self, keypoint_id: int) -> str:
