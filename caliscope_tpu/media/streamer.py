@@ -1,0 +1,150 @@
+"""Real-time playback streamer with subscribers, pause/seek, live tracking.
+
+Parity: reference src/caliscope/recording/frame_packet_streamer.py:33-418
+(FramePacketStreamer, play_worker:284) — subscriber queues with bounded
+depth, pause/resume, seek (forward-only decoders reopen on backward seek),
+optional tracker applied on the fly. Qt signals become plain callbacks /
+queues so any frontend (GUI, notebook, web) can subscribe.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from pathlib import Path
+from queue import Full, Queue
+from typing import Optional
+
+from caliscope_tpu.media.video import FrameSource, read_video_properties
+from caliscope_tpu.packets import FramePacket, PixelFormat, TrackedFrame
+from caliscope_tpu.tracker import Tracker
+
+logger = logging.getLogger(__name__)
+
+
+class FramePacketStreamer:
+    """Streams TrackedFrames from one video at (approximately) capture rate."""
+
+    def __init__(
+        self,
+        video_path: Path | str,
+        cam_id: int = 0,
+        tracker: Optional[Tracker] = None,
+        fps_override: Optional[float] = None,
+        queue_depth: int = 4,
+    ):
+        self.video_path = Path(video_path)
+        self.cam_id = cam_id
+        self.tracker = tracker
+        props = read_video_properties(self.video_path)
+        self.frame_count = props.frame_count
+        self.fps = fps_override or props.fps
+        self._queue_depth = queue_depth
+        self._subscribers: list[Queue] = []
+        self._lock = threading.Lock()
+        self._pause = threading.Event()
+        self._stop = threading.Event()
+        self._seek_to: Optional[int] = None
+        self._position = 0
+        self._thread: Optional[threading.Thread] = None
+
+    # ---- subscriptions ------------------------------------------------------
+    def subscribe(self) -> Queue:
+        q: Queue = Queue(maxsize=self._queue_depth)
+        with self._lock:
+            self._subscribers.append(q)
+        return q
+
+    def unsubscribe(self, q: Queue) -> None:
+        with self._lock:
+            if q in self._subscribers:
+                self._subscribers.remove(q)
+
+    def _publish(self, item) -> None:
+        with self._lock:
+            subs = list(self._subscribers)
+        for q in subs:
+            try:
+                q.put_nowait(item)
+            except Full:
+                # drop-oldest: playback must not stall on a slow consumer
+                try:
+                    q.get_nowait()
+                    q.put_nowait(item)
+                except Exception:
+                    pass
+
+    # ---- transport ----------------------------------------------------------
+    @property
+    def position(self) -> int:
+        return self._position
+
+    def play(self) -> None:
+        self._pause.clear()
+        if self._thread is None or not self._thread.is_alive():
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._play_worker, daemon=True)
+            self._thread.start()
+
+    def pause(self) -> None:
+        self._pause.set()
+
+    def seek(self, frame_index: int) -> None:
+        self._seek_to = max(0, min(frame_index, self.frame_count - 1))
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._pause.clear()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    # ---- worker -------------------------------------------------------------
+    def _open_source(self, start: int) -> FrameSource:
+        pf = self.tracker.pixel_format if self.tracker else PixelFormat.BGR
+        src = FrameSource(self.video_path, self.cam_id, pixel_format=pf)
+        # forward-only: skip to start
+        skipped = 0
+        while skipped < start:
+            if src.next_frame() is None:
+                break
+            skipped += 1
+        return src
+
+    def _play_worker(self) -> None:
+        src = self._open_source(self._position)
+        interval = 1.0 / max(self.fps, 1e-3)
+        try:
+            while not self._stop.is_set():
+                if self._seek_to is not None:
+                    target = self._seek_to
+                    self._seek_to = None
+                    if target < self._position:
+                        src.close()
+                        src = self._open_source(target)
+                    else:
+                        while self._position < target:
+                            if src.next_frame() is None:
+                                break
+                            self._position += 1
+                    self._position = target
+                if self._pause.is_set():
+                    time.sleep(0.02)
+                    continue
+                t0 = time.perf_counter()
+                pkt = src.next_frame()
+                if pkt is None:
+                    self._publish(None)  # end-of-stream sentinel
+                    break
+                self._position = pkt.frame_index + 1
+                if self.tracker is not None:
+                    points = self.tracker.get_points(pkt.frame, self.cam_id)
+                    self._publish(TrackedFrame(pkt, points))
+                else:
+                    self._publish(pkt)
+                elapsed = time.perf_counter() - t0
+                if elapsed < interval:
+                    time.sleep(interval - elapsed)
+        finally:
+            src.close()

@@ -57,9 +57,10 @@ class BAConfig:
 
     loss: str = "linear"  # 'linear' | 'soft_l1'
     f_scale: float = 1.0  # robust inlier scale, in normalized residual units
-    max_iter: int = 100
+    max_iter: int = 200
     ftol: float = 1e-8
-    gtol: float = 1e-10
+    xtol: float = 1e-10
+    gtol: float = 1e-12
     solver: str = "auto"  # 'auto' | 'dense' | 'cg'
     cg_tol: float = 1e-6
     cg_max_iter: int = 200
@@ -409,8 +410,8 @@ class BAResult:
     gradient_norm: float
 
 
-@partial(jax.jit, static_argnames=("loss", "f_scale", "max_iter", "ftol", "gtol", "use_dense", "cg_tol", "cg_max_iter", "init_lambda"))
-def _lm_run(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, gtol, use_dense, cg_tol, cg_max_iter, init_lambda):
+@partial(jax.jit, static_argnames=("loss", "f_scale", "max_iter", "ftol", "xtol", "gtol", "use_dense", "cg_tol", "cg_max_iter", "init_lambda"))
+def _lm_run(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, use_dense, cg_tol, cg_max_iter, init_lambda):
     n_points = X0.shape[0]
     dt = cam9_0.dtype
     cost0 = _cost_only(problem, cam9_0, X0, loss, f_scale)
@@ -452,9 +453,17 @@ def _lm_run(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, gtol,
         cam9 = jnp.where(accept, cam9_new, cam9)
         X = jnp.where(accept, X_new, X)
         rel_dec = (cost - cost_new) / jnp.maximum(cost, 1e-30)
+        # scipy-style termination: ftol (small accepted relative decrease),
+        # xtol (small accepted step), gtol, or a stalled trust region (damping
+        # maxed out — no step can improve the cost further)
+        x_norm = jnp.sqrt(jnp.sum(cam9**2) + jnp.sum(X**2))
+        dx_norm = jnp.sqrt(jnp.sum(dxc**2) + jnp.sum(dxp**2))
         done_new = jnp.logical_or(
-            jnp.logical_and(accept, rel_dec < ftol),
-            gnorm_new < gtol,
+            jnp.logical_or(
+                jnp.logical_and(accept, rel_dec < ftol),
+                jnp.logical_and(accept, dx_norm < xtol * (x_norm + xtol)),
+            ),
+            jnp.logical_or(gnorm_new < gtol, lam >= 1e9),
         )
         cost = jnp.where(accept, cost_new, cost)
         return cam9, X, lam, cost, it + 1, done_new, gnorm_new
@@ -505,6 +514,7 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
         f_scale=float(config.f_scale),
         max_iter=config.max_iter,
         ftol=config.ftol,
+        xtol=config.xtol,
         gtol=config.gtol,
         use_dense=use_dense,
         cg_tol=config.cg_tol,

@@ -291,7 +291,7 @@ class CaptureVolume:
         config = BAConfig(
             loss=loss,
             f_scale=f_scale,
-            max_iter=max_nfev if max_nfev is not None else 100,
+            max_iter=max_nfev if max_nfev is not None else 200,
             ftol=ftol,
             solver=solver,
         )
