@@ -125,6 +125,47 @@ class CameraData:
             )
         )
 
+    def undistort_frame(self, frame: np.ndarray) -> np.ndarray:
+        """Undistort a full frame via a cached remap grid (reference
+        camera_array.py:176-209: initUndistortRectifyMap + remap). The grid is
+        computed once with the framework's own distortion model; application
+        is a bilinear gather (cv2.remap when available, numpy otherwise)."""
+        if not self.has_intrinsics:
+            raise CalibrationError(f"Camera {self.cam_id} lacks intrinsic calibration; cannot undistort frames.")
+        grid = getattr(self, "_undistort_grid", None)
+        if grid is None or grid.shape[:2] != frame.shape[:2]:
+            from caliscope_tpu.ops.projection import distort_normalized, normalized_to_pixels, pixels_to_normalized
+            import jax.numpy as jnp
+
+            h, w = frame.shape[:2]
+            ys, xs = np.mgrid[0:h, 0:w]
+            uv = np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float64)
+            # destination pixel -> ideal normalized -> distorted source pixel
+            xn = np.asarray(pixels_to_normalized(jnp.asarray(uv), jnp.asarray(self.matrix)))
+            xd = np.asarray(
+                distort_normalized(jnp.asarray(xn), jnp.asarray(np.ravel(self.distortions)), self.fisheye)
+            )
+            src = np.asarray(normalized_to_pixels(jnp.asarray(xd), jnp.asarray(self.matrix)))
+            grid = src.reshape(h, w, 2).astype(np.float32)
+            self._undistort_grid = grid
+        try:
+            import cv2
+
+            return cv2.remap(frame, grid[..., 0], grid[..., 1], cv2.INTER_LINEAR)
+        except ImportError:
+            x = np.clip(grid[..., 0], 0, frame.shape[1] - 1.001)
+            y = np.clip(grid[..., 1], 0, frame.shape[0] - 1.001)
+            x0, y0 = x.astype(int), y.astype(int)
+            fx, fy = x - x0, y - y0
+            if frame.ndim == 3:
+                fx, fy = fx[..., None], fy[..., None]
+            f = frame.astype(np.float32)
+            out = (
+                (1 - fy) * ((1 - fx) * f[y0, x0] + fx * f[y0, x0 + 1])
+                + fy * ((1 - fx) * f[y0 + 1, x0] + fx * f[y0 + 1, x0 + 1])
+            )
+            return out.astype(frame.dtype)
+
     def project_points(self, X: np.ndarray) -> np.ndarray:
         """World points (N,3) -> pixels (N,2) through this camera."""
         from caliscope_tpu.ops.projection import project_points

@@ -222,6 +222,45 @@ class Charuco:
                 edges.append((k, k + cols))
         return edges
 
+    # ---- rendering ----------------------------------------------------------
+    def board_image(self, px_per_square: int = 120, margin_squares: float = 0.5) -> "np.ndarray":
+        """Render the printable board as a uint8 grayscale image (pure numpy,
+        using the embedded dictionary bit patterns — reference charuco.py:239
+        delegates to cv2; this renderer needs no OpenCV)."""
+        from caliscope_tpu.detect.dictionaries import get_dictionary
+
+        d = get_dictionary(self.dictionary)
+        m = int(round(margin_squares * px_per_square))
+        H = self.rows * px_per_square + 2 * m
+        W = self.columns * px_per_square + 2 * m
+        img = np.full((H, W), 255, np.uint8)
+        phase = 0 if self.legacy_pattern else 1
+        # chessboard squares
+        for r in range(self.rows):
+            for c in range(self.columns):
+                if (r + c) % 2 != phase:
+                    y0, x0 = m + r * px_per_square, m + c * px_per_square
+                    img[y0 : y0 + px_per_square, x0 : x0 + px_per_square] = 0
+        # markers on white squares
+        a_px = int(round(self.aruco_scale * px_per_square))
+        n = d.marker_size
+        cell = max(a_px // (n + 2), 1)
+        a_used = cell * (n + 2)
+        off = (px_per_square - a_used) // 2
+        for mid, (c, r) in enumerate(self.marker_square_positions()):
+            bits = d.bits[mid]
+            y0 = m + r * px_per_square + off
+            x0 = m + c * px_per_square + off
+            patch = np.zeros((n + 2, n + 2), np.uint8)
+            patch[1:-1, 1:-1] = bits * 255
+            img[y0 : y0 + a_used, x0 : x0 + a_used] = np.kron(patch, np.ones((cell, cell), np.uint8))
+        return img
+
+    def mirror_image(self, px_per_square: int = 120) -> "np.ndarray":
+        """The back-face print of a two-sided board (horizontally mirrored,
+        reference charuco.py:281)."""
+        return self.board_image(px_per_square)[:, ::-1].copy()
+
     # ---- persistence --------------------------------------------------------
     def to_toml(self, path: Path | str) -> None:
         from caliscope_tpu import persistence
