@@ -210,10 +210,33 @@ def solve_pnp_batch(obj_pts, img_xn, mask, planar_tol: float = 1e-6, iters: int 
     rvec0 = jnp.where(planar[..., None], rvec_planar, rvec_np)
     tvec0 = jnp.where(planar[..., None], t_obj_p, t_np)
 
-    theta = refine_pose_gn(obj_pts, img_xn, mask, rvec0, tvec0, iters=iters)
-    rvec, tvec = theta[..., :3], theta[..., 3:]
+    # Planar two-fold (IPPE) ambiguity: under noise an oblique planar target
+    # admits a second pose whose plane normal is the REFLECTION of the first
+    # about the line of sight (Schweighofer & Pinz). Refine from BOTH lobes
+    # and keep the lower-error optimum — the batched equivalent of
+    # cv2.SOLVEPNP_IPPE's two analytic solutions.
+    R0 = so3_exp(rvec0)
+    n_cam = R0[..., :, 2]  # plane normal in camera frame (object e_z)
+    c_cam = tvec0 + jnp.einsum("...ij,...j->...i", R0, mean)  # object centroid
+    v_hat = c_cam / jnp.maximum(jnp.linalg.norm(c_cam, axis=-1, keepdims=True), 1e-9)
+    n_ref = 2.0 * jnp.sum(n_cam * v_hat, axis=-1, keepdims=True) * v_hat - n_cam
+    axis = jnp.cross(n_cam, n_ref)
+    sin_a = jnp.linalg.norm(axis, axis=-1)
+    cos_a = jnp.clip(jnp.sum(n_cam * n_ref, axis=-1), -1.0, 1.0)
+    ang = jnp.arctan2(sin_a, cos_a)
+    axis_u = axis / jnp.maximum(sin_a[..., None], 1e-9)
+    R_delta = so3_exp(axis_u * ang[..., None])
+    rvec0_b = so3_log(R_delta @ R0)
 
-    uv = project_normalized(obj_pts, rvec[..., None, :], tvec[..., None, :])
-    err2 = jnp.sum((uv - img_xn) ** 2, axis=-1) * w
-    rms = jnp.sqrt(jnp.sum(err2, axis=-1) / n)
-    return rvec, tvec, rms, jnp.sum(mask, axis=-1)
+    def _refine_and_score(rv, tv):
+        th = refine_pose_gn(obj_pts, img_xn, mask, rv, tv, iters=iters)
+        uv = project_normalized(obj_pts, th[..., None, :3], th[..., None, 3:])
+        err2 = jnp.sum((uv - img_xn) ** 2, axis=-1) * w
+        return th, jnp.sqrt(jnp.sum(err2, axis=-1) / n)
+
+    theta_a, rms_a = _refine_and_score(rvec0, tvec0)
+    theta_b, rms_b = _refine_and_score(rvec0_b, tvec0)
+    use_b = planar & (rms_b < rms_a)
+    theta = jnp.where(use_b[..., None], theta_b, theta_a)
+    rms = jnp.where(use_b, rms_b, rms_a)
+    return theta[..., :3], theta[..., 3:], rms, jnp.sum(mask, axis=-1)

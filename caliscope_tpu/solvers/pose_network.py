@@ -205,12 +205,18 @@ def reject_outliers(
             iqr = q3 - q1
             keep &= (t_mag >= q1 - t_mult * iqr) & (t_mag <= q3 + t_mult * iqr)
 
+            # Rotation mode-seeking: planar-PnP flip contamination makes the
+            # sample set BIMODAL, where an eigen-average lands between the
+            # modes and rejects everything evenly. The medoid (minimum summed
+            # geodesic distance) sits inside the dominant mode; IQR-gate the
+            # angles to it.
             quats = np.asarray(lie.quat_from_matrix(R))
-            q_mean = np.asarray(lie.quaternion_average(quats))
-            R_mean = np.asarray(lie.matrix_from_quat(q_mean))
-            angles = np.asarray(lie.rotation_geodesic_angle(R, R_mean[None]))
+            dots = np.abs(quats @ quats.T).clip(0, 1)
+            geo = 2.0 * np.arccos(dots)
+            medoid = int(np.argmin(geo.sum(axis=1)))
+            angles = geo[medoid]
             rq1, rq3 = np.percentile(angles, [25, 75])
-            keep &= angles <= rq3 + rot_mult * (rq3 - rq1)
+            keep &= angles <= max(rq3 + rot_mult * (rq3 - rq1), np.deg2rad(2.0))
         if keep.sum() == 0:
             keep[:] = True  # never drop a pair entirely at this stage
         out[pair] = {"R": R[keep], "t": t[keep], "rms": rms[keep]}
@@ -486,6 +492,124 @@ class PairedPoseNetwork:
             R = np.asarray(lie.so3_exp(np.asarray(v["rotation"], dtype=np.float64)))
             pairs[(a, b)] = StereoPair(a, b, float(v["error_score"]), R, np.asarray(v["translation"]))
         return cls(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Scaffold assembly (shared with the epipolar path's third-view logic)
+# ---------------------------------------------------------------------------
+
+
+def scaffold_assembly(
+    image_points: ImagePoints,
+    camera_array: CameraArray,
+    pose_network: "PairedPoseNetwork",
+    max_candidates: int = 6,
+    static_object_ids: frozenset[int] = frozenset(),
+) -> CameraArray | None:
+    """Rebuild the rig from one trusted stereo pair + cloud resection.
+
+    When co-visibility is sparse, transitively-chained pairwise estimates can
+    go wrong while every individual PnP looks fine (planar flip ambiguity,
+    too few samples for rejection). This assembly takes the best-scoring
+    pairs as scaffold candidates: pose the pair from its StereoPair
+    transform, triangulate their co-observations, resect every other camera
+    against that cloud (vmapped PnP-RANSAC), and keep the candidate whose
+    cloud the other cameras explain best — the same third-view validation
+    the epipolar bootstrap uses (reference epipolar_pose_builder.py:237-279).
+
+    Returns a newly-posed copy of camera_array, or None if no candidate works.
+    """
+    import jax.numpy as jnp
+
+    from caliscope_tpu.ops.epipolar import pnp_ransac
+    from caliscope_tpu.ops.lie import so3_exp
+
+    cam_ids = sorted(
+        {int(c) for c in np.unique(image_points.cam_id)} & set(camera_array.cameras.keys())
+    )
+    if len(cam_ids) < 2:
+        return None
+    direct = [
+        sp for (a, b), sp in pose_network.pairs.items()
+        if a < b and a in cam_ids and b in cam_ids and np.isfinite(sp.error_score)
+    ]
+    direct.sort(key=lambda sp: sp.error_score)
+    candidates = direct[:max_candidates]
+    if not candidates:
+        return None
+
+    def try_resect(cams, cloud, cid):
+        cam = cams.cameras[cid]
+        key_to_row = {tuple(k): i for i, k in enumerate(cloud.keys())}
+        sel = np.where(image_points.cam_id == cid)[0]
+        sync = image_points.sync_index[sel].copy()
+        if static_object_ids:
+            sync[np.isin(image_points.object_id[sel], list(static_object_ids))] = -1
+        rows = np.array(
+            [key_to_row.get((int(s), int(o), int(k)), -1)
+             for s, o, k in zip(sync, image_points.object_id[sel], image_points.keypoint_id[sel])]
+        )
+        ok = rows >= 0
+        if ok.sum() < 6:
+            return None
+        obj = cloud.xyz[rows[ok]]
+        xn = cam.undistort_points(image_points.img_xy[sel][ok], output="normalized")
+        thr = 3.0 / cam.matrix[0, 0]
+        rvec, tvec, inl, med = pnp_ransac(
+            jnp.asarray(obj), jnp.asarray(xn), jnp.ones(len(obj), bool), thr, seed=cid
+        )
+        if int(np.asarray(inl).sum()) < 6:
+            return None
+        return np.asarray(so3_exp(np.asarray(rvec))), np.asarray(tvec), float(med)
+
+    def assemble(sp: StereoPair):
+        cams = camera_array.copy()
+        for c in cams.cameras.values():
+            c.rotation = None
+            c.translation = None
+        a, b = sp.primary_cam_id, sp.secondary_cam_id
+        cams.cameras[a].rotation = np.eye(3)
+        cams.cameras[a].translation = np.zeros(3)
+        cams.cameras[b].rotation = sp.rotation.copy()
+        cams.cameras[b].translation = sp.translation.copy()
+        posed = {a, b}
+        errors = []
+        # incremental expansion: each newly-posed camera grows the cloud,
+        # which can make previously-unresectable cameras solvable
+        while True:
+            cloud_obs = image_points.select(np.isin(image_points.cam_id, sorted(posed)))
+            cloud = cloud_obs.triangulate(cams, static_object_ids=static_object_ids)
+            if len(cloud) < 8:
+                return None, (len(cam_ids), np.inf)
+            added = False
+            for cid in cam_ids:
+                if cid in posed:
+                    continue
+                result = try_resect(cams, cloud, cid)
+                if result is None:
+                    continue
+                R, t, med = result
+                cams.cameras[cid].rotation = R
+                cams.cameras[cid].translation = t
+                posed.add(cid)
+                errors.append(med)
+                added = True
+            if not added:
+                break
+        n_fail = len(cam_ids) - len(posed)
+        return cams, (n_fail, max(errors) if errors else 0.0)
+
+    best_cams, best_score = None, None
+    for sp in candidates:
+        cams, score = assemble(sp)
+        if cams is None:
+            continue
+        if best_score is None or score < best_score:
+            best_cams, best_score = cams, score
+    if best_cams is None:
+        return None
+    logger.info(f"Scaffold assembly selected pair with score {best_score}")
+    return best_cams
 
 
 # ---------------------------------------------------------------------------

@@ -103,10 +103,25 @@ class CharucoTracker(Tracker):
         if np.median(resid) > max(3.0, 0.08 * marker_px):
             return None
 
+        # Orientation gate: a physical front-face view preserves the board's
+        # winding; a mirror-aliased decode (a mirror-symmetric marker read
+        # with flipped corner winding) yields an orientation-REVERSING
+        # homography. det of the projective Jacobian at the board center:
+        cx, cy = self._board_inner_corners_2d().mean(axis=0)
+        h = H
+        w_c = h[2, 0] * cx + h[2, 1] * cy + h[2, 2]
+        J = np.array(
+            [
+                [h[0, 0] * w_c - (h[0, 0] * cx + h[0, 1] * cy + h[0, 2]) * h[2, 0],
+                 h[0, 1] * w_c - (h[0, 0] * cx + h[0, 1] * cy + h[0, 2]) * h[2, 1]],
+                [h[1, 0] * w_c - (h[1, 0] * cx + h[1, 1] * cy + h[1, 2]) * h[2, 0],
+                 h[1, 1] * w_c - (h[1, 0] * cx + h[1, 1] * cy + h[1, 2]) * h[2, 1]],
+            ]
+        )
+        if np.linalg.det(J) < 0:
+            return None
+
         inner = self._board_inner_corners_2d()
-        ones = np.ones((len(inner), 1))
-        proj = (H @ np.hstack([inner, ones]).T).T
-        expected = proj[:, :2] / proj[:, 2:3]
 
         # detected X-corners (device program)
         xy, _score, valid = detect_x_corners_device(gray[None].astype(np.float32), k_max=X_CORNER_KMAX)
@@ -114,27 +129,76 @@ class CharucoTracker(Tracker):
         if len(cand) == 0:
             return None
 
-        # snap radius from the observed marker scale
-        marker_px = np.median(
-            [np.linalg.norm(c[0] - c[1]) for c in dets.corners]
-        )
-        square_px = marker_px / self.charuco.aruco_scale
-        radius = self.snap_radius_frac * square_px
+        def project(Hm):
+            ones = np.ones((len(inner), 1))
+            p = (Hm @ np.hstack([inner, ones]).T).T
+            return p[:, :2] / p[:, 2:3]
 
-        d2 = np.sum((expected[:, None, :] - cand[None, :, :]) ** 2, axis=2)
-        nearest = np.argmin(d2, axis=1)
-        dist = np.sqrt(d2[np.arange(len(expected)), nearest])
-        keep = dist < radius
-        # one candidate must not serve two expected corners: keep closest
-        chosen: dict[int, int] = {}
-        for k in np.where(keep)[0]:
-            c = int(nearest[k])
-            if c not in chosen or dist[k] < dist[chosen[c]]:
-                chosen[c] = k
-        kps = sorted(chosen.values())
-        if not kps:
+        def local_radii(expected):
+            """Per-corner snap radius from the LOCAL projected grid spacing.
+
+            Under strong perspective the square size varies across the board;
+            a single global radius over-reaches at the compressed end and
+            snaps corners to the wrong grid neighbor (an off-by-one that
+            corner geometry alone cannot detect)."""
+            cols = self.charuco.inner_columns
+            spacing = np.full(len(expected), np.inf)
+            for k in range(len(expected)):
+                c, r = k % cols, k // cols
+                for nb in (k - 1 if c > 0 else -1, k + 1 if c + 1 < cols else -1,
+                           k - cols if r > 0 else -1, k + cols if k + cols < len(expected) else -1):
+                    if nb >= 0:
+                        spacing[k] = min(spacing[k], np.linalg.norm(expected[k] - expected[nb]))
+            return self.snap_radius_frac * spacing
+
+        def snap(expected, radii):
+            d2 = np.sum((expected[:, None, :] - cand[None, :, :]) ** 2, axis=2)
+            nearest = np.argmin(d2, axis=1)
+            dist = np.sqrt(d2[np.arange(len(expected)), nearest])
+            keep = dist < radii
+            chosen: dict[int, int] = {}
+            for k in np.where(keep)[0]:
+                c = int(nearest[k])
+                if c not in chosen or dist[k] < dist[chosen[c]]:
+                    chosen[c] = k
+            kps = sorted(chosen.values())
+            return np.asarray(kps, np.int64), nearest
+
+        # Iterative homography refinement: the marker-seeded H extrapolates
+        # poorly to the board's far end; each round folds the confidently
+        # snapped corners back into the fit and re-projects.
+        kps = np.zeros(0, np.int64)
+        nearest = None
+        for _ in range(3):
+            expected = project(H)
+            radii = local_radii(expected)
+            kps, nearest = snap(expected, radii)
+            if len(kps) < 4:
+                break
+            H2 = _fit_homography(
+                np.concatenate([src, inner[kps]]),
+                np.concatenate([dst, cand[nearest[kps]]]),
+            )
+            if H2 is None:
+                break
+            H = H2
+        if len(kps) == 0:
             return None
-        return np.asarray(kps, np.int64), cand[nearest[kps]]
+        # final consistency gates: snapped corners AND the absolute marker
+        # anchors must both agree with the refined H (a wrongly-anchored fit
+        # can lock onto the corner grid while drifting off the markers)
+        mproj = (H @ np.hstack([src, np.ones((len(src), 1))]).T).T
+        mresid = np.linalg.norm(mproj[:, :2] / mproj[:, 2:3] - dst, axis=1)
+        if np.median(mresid) > max(3.0, 0.08 * marker_px):
+            return None
+        expected = project(H)
+        radii = local_radii(expected)
+        resid = np.linalg.norm(expected[kps] - cand[nearest[kps]], axis=1)
+        ok = resid < np.minimum(radii[kps], 0.25 * radii[kps] / self.snap_radius_frac)
+        kps = kps[ok]
+        if len(kps) == 0:
+            return None
+        return kps, cand[nearest[kps]]
 
     def _detect(self, frame: np.ndarray, cam_id: int = 0, rotation_count: int = 0) -> PointPacket:
         gray = frame if frame.ndim == 2 else frame.mean(axis=2)

@@ -237,7 +237,44 @@ class CaptureVolume:
         pose_network.apply_to(cameras)
         static_ids = constraints.static_object_ids if constraints else frozenset()
         world_points = image_points.triangulate(cameras, static_object_ids=static_ids)
-        return cls(camera_array=cameras, image_points=image_points, world_points=world_points, constraints=constraints)
+        volume = cls(camera_array=cameras, image_points=image_points, world_points=world_points, constraints=constraints)
+
+        # Sparse co-visibility can leave the transitively-chained network
+        # inconsistent while each pairwise estimate looks fine. When the
+        # chained rig reprojects poorly, rebuild from the best stereo pair's
+        # cloud (scaffold + resection) and keep whichever rig is better.
+        if volume.reprojection_report.overall_rmse > 20.0:
+            from caliscope_tpu.solvers.pose_network import scaffold_assembly
+
+            rebuilt = scaffold_assembly(
+                image_points, cameras, pose_network, static_object_ids=static_ids
+            )
+            if rebuilt is not None and len(rebuilt.posed_cameras) >= min(
+                len(cameras.posed_cameras), 2
+            ):
+                world2 = image_points.triangulate(rebuilt, static_object_ids=static_ids)
+                try:
+                    candidate = cls(
+                        camera_array=rebuilt, image_points=image_points,
+                        world_points=world2, constraints=constraints,
+                    )
+                    # prefer the rig that poses more cameras; break ties on RMSE
+                    better_coverage = len(rebuilt.posed_cameras) > len(volume.camera_array.posed_cameras)
+                    same_coverage = len(rebuilt.posed_cameras) == len(volume.camera_array.posed_cameras)
+                    if better_coverage or (
+                        same_coverage
+                        and candidate.reprojection_report.overall_rmse < volume.reprojection_report.overall_rmse
+                    ):
+                        logger.warning(
+                            f"Bootstrap: scaffold re-assembly improved reprojection RMSE "
+                            f"{volume.reprojection_report.overall_rmse:.1f} -> "
+                            f"{candidate.reprojection_report.overall_rmse:.1f} px"
+                        )
+                        volume = candidate
+                except ValueError:
+                    pass
+
+        return _repair_bootstrap_outlier_cameras(volume, static_ids)
 
     # ---- bundle adjustment --------------------------------------------------
     def optimize(
@@ -707,3 +744,83 @@ class CaptureVolume:
         centers = np.array([self._camera_center(cid) for cid in self.camera_array.posed_cameras])
         cxy = centers[:, :2].mean(axis=0)
         return self.translate(x=-cxy[0], y=-cxy[1])
+
+
+def _repair_bootstrap_outlier_cameras(
+    volume: CaptureVolume,
+    static_ids: frozenset[int],
+    max_passes: int = 2,
+    rel_factor: float = 4.0,
+    abs_floor_px: float = 10.0,
+) -> CaptureVolume:
+    """Structure-based repair of badly-posed cameras after bootstrap.
+
+    Sparse co-visibility leaves some camera pairs with too few relative-pose
+    samples to reject planar-PnP flip contamination statistically (the IPPE
+    two-fold ambiguity: both lobes fit a single view equally well). The
+    repair is the multi-view disambiguator: triangulate a cloud from the
+    mutually-consistent cameras, then re-resect each outlier camera against
+    that cloud with vmapped PnP-RANSAC — the same third-view logic the
+    epipolar bootstrap uses to reject wrong-but-self-consistent pairs.
+    """
+    import jax.numpy as jnp
+
+    from caliscope_tpu.ops.epipolar import pnp_ransac
+    from caliscope_tpu.ops.lie import so3_exp
+
+    for _ in range(max_passes):
+        rep = volume.reprojection_report
+        by_cam = {c: r for c, r in rep.by_camera.items() if r > 0}
+        if len(by_cam) < 3:
+            return volume
+        best = min(by_cam.values())
+        threshold = max(rel_factor * best, abs_floor_px)
+        bad = [c for c, r in by_cam.items() if r > threshold]
+        good = [c for c in by_cam if c not in bad]
+        if not bad or len(good) < 2:
+            return volume
+        logger.warning(
+            f"Bootstrap repair: cameras {bad} have reprojection RMSE above {threshold:.1f}px "
+            f"(best {best:.2f}px); re-resecting against the {len(good)}-camera cloud."
+        )
+        ip = volume.image_points
+        cloud_obs = ip.select(np.isin(ip.cam_id, good))
+        cloud = cloud_obs.triangulate(volume.camera_array, static_object_ids=static_ids)
+        key_to_row = {tuple(k): i for i, k in enumerate(cloud.keys())}
+
+        new_cameras = volume.camera_array.copy()
+        repaired = False
+        for cid in bad:
+            cam = new_cameras.cameras[cid]
+            sel = np.where(ip.cam_id == cid)[0]
+            sync = ip.sync_index[sel].copy()
+            if static_ids:
+                sync[np.isin(ip.object_id[sel], list(static_ids))] = STATIC_SYNC_INDEX
+            rows = np.array(
+                [key_to_row.get((int(s), int(o), int(k)), -1)
+                 for s, o, k in zip(sync, ip.object_id[sel], ip.keypoint_id[sel])]
+            )
+            ok = rows >= 0
+            if ok.sum() < 6:
+                continue
+            obj = cloud.xyz[rows[ok]]
+            xn = cam.undistort_points(ip.img_xy[sel][ok], output="normalized")
+            thr = 3.0 / cam.matrix[0, 0]
+            rvec, tvec, inl, _med = pnp_ransac(
+                jnp.asarray(obj), jnp.asarray(xn), jnp.ones(len(obj), bool), thr, seed=cid
+            )
+            if int(np.asarray(inl).sum()) < 6:
+                continue
+            cam.rotation = np.asarray(so3_exp(np.asarray(rvec)))
+            cam.translation = np.asarray(tvec)
+            repaired = True
+        if not repaired:
+            return volume
+        world = volume.image_points.triangulate(new_cameras, static_object_ids=static_ids)
+        volume = CaptureVolume(
+            camera_array=new_cameras,
+            image_points=volume.image_points,
+            world_points=world,
+            constraints=volume.constraints,
+        )
+    return volume

@@ -69,6 +69,14 @@ def _render_frame(board_img, cam, board_pose_R, board_pose_t):
     camf = (cam.rotation @ world.T).T + cam.translation
     if (camf[:, 2] < 0.1).any():
         return np.full((IMG_SIZE[1], IMG_SIZE[0]), 255, np.uint8)
+    # backface culling: a one-sided printed board is blank from behind.
+    # Board axes: x right, y DOWN (image-row convention), so the printed
+    # face's outward normal is -z in board coordinates.
+    normal_w = board_pose_R @ np.array([0.0, 0.0, -1.0])
+    center_w = world.mean(axis=0)
+    cam_center = -cam.rotation.T @ cam.translation
+    if np.dot(cam_center - center_w, normal_w) <= 0.05:
+        return np.full((IMG_SIZE[1], IMG_SIZE[0]), 255, np.uint8)
     uv = (cam.matrix @ (camf / camf[:, 2:3]).T).T[:, :2]
     src = np.array([_board_px_of_metric(p[:2]) for p in board_corners_m], np.float32)
     H = cv2.getPerspectiveTransform(src, uv.astype(np.float32))
