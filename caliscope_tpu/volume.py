@@ -771,11 +771,20 @@ def _repair_bootstrap_outlier_cameras(
     for _ in range(max_passes):
         rep = volume.reprojection_report
         by_cam = {c: r for c, r in rep.by_camera.items() if r > 0}
-        if len(by_cam) < 3:
+        if len(by_cam) < 2:
             return volume
         best = min(by_cam.values())
         threshold = max(rel_factor * best, abs_floor_px)
         bad = [c for c, r in by_cam.items() if r > threshold]
+        # cameras with observations that the pose network could not place at
+        # all (no surviving pairs) are resected here too — the cloud is the
+        # multi-view anchor the pairwise stage lacked
+        observed = {int(c) for c in np.unique(volume.image_points.cam_id)}
+        unposed = sorted(
+            observed
+            & {c for c, cam in volume.camera_array.cameras.items() if not cam.is_posed and not cam.ignore}
+        )
+        bad = sorted(set(bad) | set(unposed))
         good = [c for c in by_cam if c not in bad]
         if not bad or len(good) < 2:
             return volume

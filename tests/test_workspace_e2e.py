@@ -24,7 +24,8 @@ from caliscope_tpu.workspace import StepStatus, Workspace
 
 pytestmark = pytest.mark.slow
 
-ROWS, COLS, SQ = 5, 7, 0.054
+ROWS, COLS, SQ = 5, 7, 0.09
+VOLUME_CENTER = np.array([0.0, 0.0, 0.55])
 SQ_PX = 84
 MARGIN = 40
 IMG_SIZE = (640, 480)
@@ -43,15 +44,16 @@ def _board_px_of_metric(xy_m):
     return np.array([MARGIN + xy_m[0] / SQ * SQ_PX - 0.5, MARGIN + xy_m[1] / SQ * SQ_PX - 0.5])
 
 
-def _gt_cameras(n=4, f=650.0):
-    """Ring of pinhole cameras (zero distortion keeps the warp exact)."""
+def _gt_cameras(n=4, f=900.0):
+    """Ring of pinhole cameras aimed at the working volume (zero distortion
+    keeps the warp exact)."""
     from caliscope_tpu.cameras import CameraArray, CameraData
 
     cams = {}
     for i in range(n):
         a = 2 * np.pi * i / n
-        c = np.array([1.8 * np.cos(a), 1.8 * np.sin(a), 0.6])
-        z = -c / np.linalg.norm(c)
+        c = np.array([1.8 * np.cos(a), 1.8 * np.sin(a), 0.7])
+        z = (VOLUME_CENTER - c) / np.linalg.norm(VOLUME_CENTER - c)
         x = np.cross(np.array([0.0, 0.0, 1.0]), z)
         x /= np.linalg.norm(x)
         y = np.cross(z, x)
@@ -99,9 +101,8 @@ def _rot(axis, ang):
     return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
 
 
-@pytest.fixture(scope="module")
-def workspace(tmp_path_factory):
-    root = tmp_path_factory.mktemp("ws")
+def build_workspace(root):
+    """Render the full synthetic project into `root` (reused by diagnostics)."""
     ws = Workspace.create(root)
     ch = Charuco(rows=ROWS, columns=COLS, square_size_m=SQ)
     ws.targets.save_intrinsic_charuco(ch)
@@ -110,35 +111,48 @@ def workspace(tmp_path_factory):
     gt = _gt_cameras()
     rng = np.random.default_rng(3)
 
-    # intrinsic videos: board waved in front of each camera
+    # intrinsic videos: board waved in front of each camera. The camera sees
+    # the board's printed face (-z board normal) when the board's +z axis
+    # points along the optical axis, i.e. base orientation = cam.rotation.T.
     for cid, cam in gt.cameras.items():
         frames = []
         center = -cam.rotation.T @ cam.translation  # camera position
         fwd = cam.rotation.T @ np.array([0, 0, 1.0])
         for t in range(30):
-            # board placed along the optical axis at 0.7-1.3m, tilted
-            depth = 0.7 + 0.6 * (t % 10) / 10
+            depth = 1.0 + 0.8 * (t % 10) / 10
             pos = center + fwd * depth
-            R = cam.rotation.T @ _rot(rng.normal(size=3), rng.uniform(0.05, 0.6))
-            # center the board on the axis point
+            R = cam.rotation.T @ _rot(rng.normal(size=3), rng.uniform(0.05, 0.55))
             offs = R @ np.array([COLS * SQ / 2, ROWS * SQ / 2, 0.0])
-            frames.append(_render_frame(board_img, cam, R, pos - offs + rng.uniform(-0.08, 0.08, 3)))
+            frames.append(_render_frame(board_img, cam, R, pos - offs + rng.uniform(-0.06, 0.06, 3)))
         _write_video(ws.video_path("intrinsic", cid), frames)
 
-    # extrinsic videos: board orbits the ring center, synchronized
-    n_frames = 30
+    # extrinsic videos: "station" sweep — the board pauses at 8 azimuths
+    # (facing each camera and each camera-pair bisector) with tilt and height
+    # variation, like an operator showing the board around the room. Verified
+    # by visibility simulation to give every adjacent pair shared frontal
+    # views at detectable marker scales.
+    n_per = 12
+    n_frames = 8 * n_per
     for cid, cam in gt.cameras.items():
         frames = []
         for t in range(n_frames):
-            phase = 2 * np.pi * t / n_frames
-            pos = np.array([0.45 * np.cos(phase), 0.45 * np.sin(phase), 0.55 + 0.2 * np.sin(2 * phase)])
-            # face outward with tilt so multiple cameras see it
-            R = _rot([0, 0, 1], phase) @ _rot([1, 0, 0], 1.2 + 0.3 * np.sin(3 * phase))
+            station, j = t // n_per, t % n_per
+            az = 2 * np.pi * station / 8
+            tilt = 1.25 + 0.15 * np.sin(2 * np.pi * j / n_per)
+            pos = VOLUME_CENTER + np.array(
+                [0.05 * np.cos(az + j), 0.05 * np.sin(az + j), 0.12 * np.sin(2 * np.pi * j / n_per + station)]
+            )
+            R = _rot([0, 0, 1], az) @ _rot([1, 0, 0], tilt)
             offs = R @ np.array([COLS * SQ / 2, ROWS * SQ / 2, 0.0])
             frames.append(_render_frame(board_img, cam, R, pos - offs))
         _write_video(ws.video_path("extrinsic", cid), frames)
 
     return ws, gt
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    return build_workspace(tmp_path_factory.mktemp("ws"))
 
 
 class TestWorkflow:
