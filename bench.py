@@ -109,7 +109,8 @@ def bench_ours(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
 
     problem = make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool))
     cam9 = np.concatenate([rvecs, tvecs, np.ones((N_CAMERAS, 1)), dist[:, :2]], axis=1)
-    config = BAConfig(max_iter=TIMED_ITERS, ftol=0.0, gtol=0.0, solver="cg", cg_max_iter=30)
+    solver = os.environ.get("CALISCOPE_BENCH_SOLVER", "auto")
+    config = BAConfig(max_iter=TIMED_ITERS, ftol=0.0, gtol=0.0, solver=solver, cg_max_iter=30)
     _log("compiling + warmup solve")
     lm_solve(problem, cam9, X, config)
     _log("compiled; timing")

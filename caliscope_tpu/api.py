@@ -33,6 +33,7 @@ from caliscope_tpu.pipelines.calibrate_intrinsics import (  # noqa: F401
     IntrinsicCalibrationReport,
     run_intrinsic_calibration,
 )
+from caliscope_tpu.estimators import VerticalEstimate, estimate_vertical  # noqa: F401
 from caliscope_tpu.scale import CameraDistance, DepthObservation, SegmentLength  # noqa: F401
 from caliscope_tpu.targets import ArucoMarkerSet, Charuco, Chessboard  # noqa: F401
 from caliscope_tpu.tracker import Tracker  # noqa: F401
@@ -60,6 +61,8 @@ __all__ = [
     "extract_image_points_multicam",
     "calibrate_intrinsics",
     "calibrate_extrinsics",
+    "estimate_vertical",
+    "VerticalEstimate",
     "write_blender_scene",
     "CalibrationError",
 ]

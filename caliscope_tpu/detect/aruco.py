@@ -46,7 +46,10 @@ class MarkerDetections:
 def _device_pipeline(images, n_bits: int, k_max: int, patch: int, min_area: int, ccl_iters: int):
     """(B, H, W) uint8/float -> candidate quads + sampled bit grids."""
     imgs = images.astype(jnp.float32)
-    binary = adaptive_threshold(imgs, radius=10, c=7.0)
+    # multi-scale threshold union: small radius outlines small markers
+    # sharply; the large radius keeps the interiors of big blobs foreground
+    # (the reference's detector sweeps adaptive-threshold window sizes too)
+    binary = adaptive_threshold(imgs, radius=10, c=7.0) | adaptive_threshold(imgs, radius=26, c=7.0)
     labels = connected_components(binary, n_iters=ccl_iters)
     sel, areas, bbox, valid = component_candidates(binary, labels, k_max, float(min_area))
     gray, mask, origin, scale = extract_patches(imgs, labels, sel, bbox, patch)

@@ -61,7 +61,7 @@ class BAConfig:
     ftol: float = 1e-8
     xtol: float = 1e-10
     gtol: float = 1e-12
-    solver: str = "auto"  # 'auto' | 'dense' | 'cg'
+    solver: str = "auto"  # 'auto' | 'dense' | 'schur' | 'cg'
     cg_tol: float = 1e-6
     cg_max_iter: int = 200
     init_lambda: float = 1e-4
@@ -330,6 +330,99 @@ def _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam):
     return dx[: N_CAM_PARAMS * C].reshape(C, N_CAM_PARAMS), dx[N_CAM_PARAMS * C :].reshape(P, 3)
 
 
+def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam):
+    """Build the damped Schur system over cameras.
+
+    Reprojection structure: each observation couples ONE camera block (9) and
+    ONE point block (3), so H = [[A, G], [G^T, Hpp]] with Hpp block-diagonal.
+    Eliminating points gives S = A - G Hpp^-1 G^T (9C x 9C, tiny) — the
+    classic SBA reduction, built here with one scatter-add of per-observation
+    W blocks and two MXU einsums (no sparse structures).
+    """
+    C, P = problem.n_cameras, g_p.shape[0]
+    dt = g_c.dtype
+    free_c = problem.param_free.astype(dt)
+    diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
+    diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
+    A_cc = d_c + jax.vmap(jnp.diag)(lam * diag_c + jnp.where(problem.param_free, 0.0, 1.0))
+    Hpp = d_p + jax.vmap(jnp.diag)(lam * diag_p) + 1e-12 * jnp.eye(3, dtype=dt)
+    Hpp_inv = jnp.linalg.inv(Hpp)
+
+    W_blocks = jnp.einsum("nij,ni,nik->njk", Jc, w, Jp)  # (N,9,3)
+    G = jnp.zeros((C, P, N_CAM_PARAMS, 3), dt).at[problem.cam_idx, problem.pt_idx].add(W_blocks)
+    Y = jnp.einsum("cpij,pjk->cpik", G, Hpp_inv)  # (C,P,9,3)
+    S = -jnp.einsum("cpik,dpjk->cidj", Y, G)  # (C,9,C,9)
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(A_cc)
+    S = S.reshape(C * N_CAM_PARAMS, C * N_CAM_PARAMS)
+    S_cho = jax.scipy.linalg.cho_factor(S)
+    return S_cho, G, Y, Hpp_inv, free_c
+
+
+def _schur_apply(S_cho, G, Y, Hpp_inv, free_c, bc, bp):
+    """Solve the damped reprojection normal system given Schur factors."""
+    C = bc.shape[0]
+    rhs_c = bc - jnp.einsum("cpik,pk->ci", Y, bp)
+    dxc = jax.scipy.linalg.cho_solve(S_cho, rhs_c.reshape(-1)).reshape(C, N_CAM_PARAMS)
+    dxc = dxc * free_c
+    bp_corr = bp - jnp.einsum("cpij,ci->pj", G, dxc)
+    dxp = jnp.einsum("pij,pj->pi", Hpp_inv, bp_corr)
+    return dxc, dxp
+
+
+def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter):
+    """Schur-eliminated solve: exact for the (damped) reprojection system;
+    with constraint rows present the Schur solve becomes the preconditioner
+    of a short CG on the full system (constraints couple points to points,
+    breaking the block-diagonal Hpp — but only as a low-rank-ish correction,
+    so CG converges in a handful of iterations)."""
+    factors = _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam)
+    S_cho, G, Y, Hpp_inv, free_c = factors
+    if problem.n_constraints == 0:
+        return _schur_apply(S_cho, G, Y, Hpp_inv, free_c, -g_c, -g_p)
+
+    diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
+    diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
+
+    def A_mv(vc, vp):
+        hc, hp = _hessian_matvec(problem, w, Jc, Jp, qidx, Jq, vc, vp)
+        hc = hc + lam * diag_c * vc + (1.0 - free_c) * vc
+        hp = hp + lam * diag_p * vp
+        return hc, hp
+
+    def M_inv(rc, rp):
+        return _schur_apply(S_cho, G, Y, Hpp_inv, free_c, rc, rp)
+
+    def dot(a, b):
+        return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+
+    b = (-g_c, -g_p)
+    x = (jnp.zeros_like(g_c), jnp.zeros_like(g_p))
+    r = b
+    z = M_inv(*r)
+    p = z
+    rz = dot(r, z)
+    b_norm2 = dot(b, b)
+
+    def cond(state):
+        _x, r, _p, _rz, it = state
+        return jnp.logical_and(it < cg_max_iter, dot(r, r) > (cg_tol**2) * b_norm2)
+
+    def body(state):
+        x, r, p, rz, it = state
+        Ap = A_mv(*p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x = (x[0] + alpha * p[0], x[1] + alpha * p[1])
+        r = (r[0] - alpha * Ap[0], r[1] - alpha * Ap[1])
+        z = M_inv(*r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = (z[0] + beta * p[0], z[1] + beta * p[1])
+        return x, r, p, rz_new, it + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
+    return x[0] * free_c, x[1]
+
+
 def _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, tol, max_iter):
     """Block-Jacobi preconditioned CG on the damped normal equations.
 
@@ -410,8 +503,8 @@ class BAResult:
     gradient_norm: float
 
 
-@partial(jax.jit, static_argnames=("loss", "f_scale", "max_iter", "ftol", "xtol", "gtol", "use_dense", "cg_tol", "cg_max_iter", "init_lambda"))
-def _lm_run(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, use_dense, cg_tol, cg_max_iter, init_lambda):
+@partial(jax.jit, static_argnames=("loss", "f_scale", "max_iter", "ftol", "xtol", "gtol", "solver_kind", "cg_tol", "cg_max_iter", "init_lambda"))
+def _lm_run(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, solver_kind, cg_tol, cg_max_iter, init_lambda):
     n_points = X0.shape[0]
     dt = cam9_0.dtype
     cost0 = _cost_only(problem, cam9_0, X0, loss, f_scale)
@@ -425,8 +518,10 @@ def _lm_run(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol,
         g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points)
         gnorm_new = jnp.maximum(jnp.max(jnp.abs(g_c * problem.param_free)), jnp.max(jnp.abs(g_p)))
 
-        if use_dense:
+        if solver_kind == "dense":
             dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam)
+        elif solver_kind == "schur":
+            dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
         else:
             dxc, dxp = _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
 
@@ -493,7 +588,16 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
     C = problem.n_cameras
     P = int(np.asarray(X0).shape[0])
     dim = N_CAM_PARAMS * C + 3 * P
-    use_dense = config.solver == "dense" or (config.solver == "auto" and dim <= config.dense_cutoff)
+    if config.solver != "auto":
+        solver_kind = config.solver
+    elif dim <= config.dense_cutoff:
+        solver_kind = "dense"
+    else:
+        # Schur elimination materializes two (C, P, 9, 3) edge tensors; use it
+        # whenever that fits comfortably, else fall back to matrix-free CG
+        itemsize = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype).itemsize
+        schur_bytes = 2 * C * P * N_CAM_PARAMS * 3 * itemsize
+        solver_kind = "schur" if schur_bytes <= 1 << 30 else "cg"
 
     lb = np.full((C, N_CAM_PARAMS), -BIG)
     ub = np.full((C, N_CAM_PARAMS), BIG)
@@ -516,7 +620,7 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
         ftol=config.ftol,
         xtol=config.xtol,
         gtol=config.gtol,
-        use_dense=use_dense,
+        solver_kind=solver_kind,
         cg_tol=config.cg_tol,
         cg_max_iter=config.cg_max_iter,
         init_lambda=config.init_lambda,

@@ -133,14 +133,16 @@ class TestLMConvergence:
         rmse = _pixel_rmse(res, views, cam_idx, pt_idx, ip.img_xy)
         assert 0.2 < rmse < 0.6  # at/below the 0.5 px injected noise
 
-    def test_dense_and_cg_agree(self):
+    def test_dense_cg_and_schur_agree(self):
         _scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(noise=0.5)
         rng = np.random.default_rng(1)
         cam9 = initial_cam9(_scene.cameras)
         cam9[:, 3:6] += rng.normal(scale=0.02, size=(len(cam9), 3))
         res_d = lm_solve(problem, cam9, X0, BAConfig(max_iter=60, solver="dense"))
         res_c = lm_solve(problem, cam9, X0, BAConfig(max_iter=60, solver="cg"))
+        res_s = lm_solve(problem, cam9, X0, BAConfig(max_iter=60, solver="schur"))
         assert res_d.cost_final == pytest.approx(res_c.cost_final, rel=1e-6)
+        assert res_d.cost_final == pytest.approx(res_s.cost_final, rel=1e-6)
 
     def test_cost_monotone_nonincreasing(self):
         _scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(noise=0.5)
@@ -226,3 +228,6 @@ class TestConstraints:
         res = lm_solve(problem, cam9, X0, BAConfig(max_iter=60))
         d_after = float(np.linalg.norm(res.X[a] - res.X[b]))
         assert abs(d_after - d_true) < 5e-4
+        # the Schur path (preconditioned CG when constraints present) agrees
+        res_s = lm_solve(problem, cam9, X0, BAConfig(max_iter=60, solver="schur"))
+        assert res_s.cost_final == pytest.approx(res.cost_final, rel=1e-5)
