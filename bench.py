@@ -129,8 +129,9 @@ def bench_reference_equivalent(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv, it
     from scipy import sparse
 
     n_params = 9 * N_CAMERAS + 3 * N_POINTS
-    t0 = time.perf_counter()
+    best = np.inf
     for _ in range(iters):
+        t0 = time.perf_counter()
         rows_list, cols_list, vals_list = [], [], []
         residuals = np.empty((N_OBS, 2))
         for ci in range(N_CAMERAS):
@@ -159,7 +160,9 @@ def bench_reference_equivalent(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv, it
         vals = np.concatenate(vals_list)
         J = sparse.coo_matrix((vals, (rows, cols)), shape=(2 * N_OBS, n_params)).tocsr()
         g = J.T @ residuals.ravel()  # gradient product TRF evaluates
-    return (time.perf_counter() - t0) / iters
+        best = min(best, time.perf_counter() - t0)
+    # fastest-of-N: the most favorable measurement for the baseline
+    return best
 
 
 def main():
