@@ -71,11 +71,13 @@ def _device_pipeline(images, n_bits: int, k_max: int, patch: int, min_area: int,
 def _canonical_roll(corners: np.ndarray, rotation: int) -> np.ndarray:
     """Reorder sampled-grid corners so index 0 is the canonical marker's TL.
 
-    The matcher found dict == rot90(sampled, k=rotation) (CCW); the canonical
-    TL then sits at sampled-grid corner index `rotation` going clockwise from
-    the sampled TL — a forward roll of the corner list.
+    match_bits compares the sampled grid against rot90(dict, k=rotation), so
+    dict == rot90(sampled, k=-rotation); the canonical TL sits at sampled
+    corner index (4 - rotation) % 4 — a BACKWARD roll of the corner list.
+    (The sign only matters for rotation 1/3; synthetic near-axis renders all
+    hit rotation 0, which is why real 90/270-degree views exposed this.)
     """
-    return np.roll(corners, -rotation, axis=0)
+    return np.roll(corners, rotation, axis=0)
 
 
 def detect_markers(

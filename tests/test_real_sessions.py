@@ -1,0 +1,129 @@
+"""Parity against the reference's committed REAL session data.
+
+These tests consume the reference repository's test-session artifacts
+(/root/reference/tests/sessions — real recorded data and real calibration
+outputs shipped with the public project) as pure DATA:
+
+- file-format interop: our loaders read genuine caliscope TOML/CSV artifacts;
+- solution parity: our pipeline, run on the same real extraction, must match
+  or beat the reference's own calibrated reprojection quality;
+- real-imagery detection: our TPU detector vs cv2 on real camera JPEGs.
+
+Skipped when the reference checkout is absent.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+SESSIONS = Path("/root/reference/tests/sessions")
+
+pytestmark = pytest.mark.skipif(not SESSIONS.exists(), reason="reference sessions not available")
+
+
+@pytest.fixture(scope="module")
+def post_optimization_session():
+    from caliscope_tpu.cameras import CameraArray
+    from caliscope_tpu.observations import ImagePoints
+
+    root = SESSIONS / "post_optimization"
+    cameras = CameraArray.from_toml(root / "camera_array.toml")
+    points = ImagePoints.from_csv(root / "calibration" / "extrinsic" / "CHARUCO" / "xy_CHARUCO.csv")
+    return cameras, points
+
+
+class TestFormatInterop:
+    def test_reads_reference_camera_array(self, post_optimization_session):
+        cameras, _ = post_optimization_session
+        assert len(cameras.cameras) >= 3
+        assert cameras.all_intrinsics_calibrated
+        assert cameras.all_extrinsics_calibrated
+        for cam in cameras.cameras.values():
+            assert cam.matrix.shape == (3, 3)
+            assert np.isfinite(cam.rvec).all()
+
+    def test_reads_reference_extraction_csv(self, post_optimization_session):
+        _, points = post_optimization_session
+        assert len(points) > 1000
+        assert points.any_obj_loc
+
+
+class TestRealSessionParity:
+    def test_reference_solution_reprojects_well_under_our_metrics(self, post_optimization_session):
+        """Their calibrated cameras + our triangulation/reprojection agree the
+        session is solved — validates our metric stack on real data."""
+        from caliscope_tpu.volume import CaptureVolume
+
+        cameras, points = post_optimization_session
+        world = points.triangulate(cameras)
+        volume = CaptureVolume(cameras, points, world)
+        ref_rmse = volume.reprojection_report.overall_rmse
+        assert ref_rmse < 2.0, ref_rmse
+
+    def test_our_pipeline_matches_or_beats_reference_on_real_extraction(self, post_optimization_session):
+        """Strip the reference's extrinsics, re-solve with OUR bootstrap + BA,
+        and compare reprojection RMSE on identical observations — the
+        match-or-beat contract on caliscope's own data."""
+        from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
+        from caliscope_tpu.volume import CaptureVolume
+
+        cameras, points = post_optimization_session
+        # the reference's own optimized quality on this session
+        ref_volume = CaptureVolume(cameras, points, points.triangulate(cameras))
+        ref_rmse = ref_volume.reprojection_report.overall_rmse
+
+        blind = strip_extrinsics(cameras)
+        ours = CaptureVolume.bootstrap(points, blind)
+        ours = ours.optimize(refine_intrinsics=False)
+        ours = ours.filter_by_percentile_error(2.5).optimize(refine_intrinsics=False)
+        our_rmse = ours.reprojection_report.overall_rmse
+        # after identical-style filtering our solve must be at least as tight
+        assert our_rmse <= ref_rmse * 1.05, (our_rmse, ref_rmse)
+        assert len(ours.camera_array.posed_cameras) == len(cameras.posed_cameras)
+
+    def test_rmse_decreases_through_stages_on_real_data(self, post_optimization_session):
+        """The reference's core contract (tests/test_calibration.py:56-82) on
+        its own real session: triangulate -> optimize -> filter -> optimize
+        strictly decreases RMSE; no camera loses all observations."""
+        from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
+        from caliscope_tpu.volume import CaptureVolume
+
+        cameras, points = post_optimization_session
+        v0 = CaptureVolume.bootstrap(points, strip_extrinsics(cameras))
+        r0 = v0.reprojection_report.overall_rmse
+        v1 = v0.optimize(refine_intrinsics=False)
+        r1 = v1.reprojection_report.overall_rmse
+        v2 = v1.filter_by_absolute_error(2.0).optimize(refine_intrinsics=False)
+        r2 = v2.reprojection_report.overall_rmse
+        assert r1 < r0
+        assert r2 <= r1 + 1e-9
+        for cid in v2.camera_array.posed_cameras:
+            assert np.sum(v2.image_points.cam_id == cid) > 0
+
+
+class TestRealImageryDetection:
+    def test_aruco_detection_agrees_with_cv2_on_real_frames(self):
+        cv2 = pytest.importorskip("cv2")
+
+        from caliscope_tpu.detect.aruco import detect_markers
+
+        frames = sorted((SESSIONS / "aruco_extrinsic").glob("cam_*_*.jpg"))
+        assert frames, "no real frames found"
+        det = cv2.aruco.ArucoDetector(cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_4X4_50))
+        matched, cv_total, dists = 0, 0, []
+        for p in frames:
+            img = cv2.imread(str(p), 0)
+            c, ids, _ = det.detectMarkers(img)
+            cv_ids = {} if ids is None else {int(i): cc.reshape(4, 2) for i, cc in zip(ids.ravel(), c)}
+            cv_total += len(cv_ids)
+            if not cv_ids:
+                continue
+            ours = detect_markers(img[None], "DICT_4X4_50")[0]
+            our_ids = {int(i): cc for i, cc in zip(ours.ids, ours.corners)}
+            for i in set(cv_ids) & set(our_ids):
+                matched += 1
+                dists.append(np.linalg.norm(our_ids[i] - cv_ids[i], axis=1).mean())
+        assert cv_total > 0
+        assert matched / cv_total >= 0.8  # find >= 80% of what cv2 finds
+        assert np.mean(dists) < 1.5  # sub-1.5px corner agreement on real video
