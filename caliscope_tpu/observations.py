@@ -311,6 +311,12 @@ class ImagePoints:
         obj_loc = None
         if all(c in df.columns for c in ("obj_loc_x", "obj_loc_y", "obj_loc_z")):
             obj_loc = np.column_stack([df["obj_loc_x"], df["obj_loc_y"], df["obj_loc_z"]])
+            # legacy flat-board CSVs leave obj_loc_z empty: planar implies z=0
+            # (the reference applies the same assumption, capture_volume.py:905)
+            xy_ok = np.isfinite(obj_loc[:, :2]).all(axis=1)
+            z_nan = ~np.isfinite(obj_loc[:, 2])
+            if z_nan[xy_ok].all() and xy_ok.any():
+                obj_loc[xy_ok & z_nan, 2] = 0.0
         ft = df["frame_time"].to_numpy() if "frame_time" in df.columns else None
         return cls(
             df["sync_index"].to_numpy(),

@@ -91,6 +91,7 @@ class Charuco:
     dictionary: str = "DICT_4X4_50"
     legacy_pattern: bool = False  # marker-on-black-square variant
     thickness_m: float = 0.0  # two-sided board substrate thickness
+    inverted: bool = False  # white-on-black print (reference charuco.py:100)
 
     def __post_init__(self):
         if self.rows < 3 or self.columns < 3:
@@ -275,21 +276,36 @@ class Charuco:
                 "dictionary": self.dictionary,
                 "legacy_pattern": self.legacy_pattern,
                 "thickness_m": self.thickness_m,
+                "inverted": self.inverted,
             },
             path,
         )
 
     @classmethod
     def from_toml(cls, path: Path | str) -> "Charuco":
+        """Load our schema OR the reference's charuco.toml schema (columns,
+        rows, square_size_override_cm, thickness_cm, inverted, ...)."""
         from caliscope_tpu import persistence
 
         d = persistence.load_toml(path)
+        if "square_size_m" in d:
+            square_m = float(d["square_size_m"])
+        elif d.get("square_size_override_cm"):
+            square_m = float(d["square_size_override_cm"]) / 100.0
+        else:
+            # reference fallback: maximize square size within board dims
+            unit_cm = 2.54 if d.get("units") == "inch" else 1.0
+            bh = float(d["board_height"]) * unit_cm
+            bw = float(d["board_width"]) * unit_cm
+            square_m = min(bh / int(d["rows"]), bw / int(d["columns"])) / 100.0
+        thickness_m = float(d.get("thickness_m", float(d.get("thickness_cm", 0.0)) / 100.0))
         return cls(
             rows=int(d["rows"]),
             columns=int(d["columns"]),
-            square_size_m=float(d["square_size_m"]),
+            square_size_m=square_m,
             aruco_scale=float(d.get("aruco_scale", 0.75)),
             dictionary=d.get("dictionary", "DICT_4X4_50"),
             legacy_pattern=bool(d.get("legacy_pattern", False)),
-            thickness_m=float(d.get("thickness_m", 0.0)),
+            thickness_m=thickness_m,
+            inverted=bool(d.get("inverted", False)),
         )

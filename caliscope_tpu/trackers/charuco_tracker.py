@@ -202,6 +202,8 @@ class CharucoTracker(Tracker):
 
     def _detect(self, frame: np.ndarray, cam_id: int = 0, rotation_count: int = 0) -> PointPacket:
         gray = frame if frame.ndim == 2 else frame.mean(axis=2)
+        if self.charuco.inverted:
+            gray = 255.0 - gray.astype(np.float32)
         orders = [False, True] if not self._mirror_hint.get(cam_id, False) else [True, False]
         if not self.charuco.two_sided:
             orders = [False]

@@ -103,6 +103,45 @@ class TestRealSessionParity:
 
 
 class TestRealImageryDetection:
+    def test_charuco_detection_matches_reference_extraction_on_real_video(self):
+        """Real recorded video of an INVERTED charuco board: our tracker must
+        find at least the corners the reference's own extraction (cv2)
+        committed, at sub-0.5px agreement. Also exercises the reference
+        charuco.toml schema (inches, square_size_override_cm, inverted)."""
+        cv2 = pytest.importorskip("cv2")
+
+        from caliscope_tpu.observations import ImagePoints
+        from caliscope_tpu.targets import Charuco
+        from caliscope_tpu.trackers import CharucoTracker
+
+        root = SESSIONS / "prerecorded_calibration"
+        ch = Charuco.from_toml(root / "charuco.toml")
+        assert ch.inverted and ch.dictionary == "DICT_4X4_1000"
+        assert ch.square_size_m == pytest.approx(0.054)
+        ref = ImagePoints.from_csv(root / "calibration" / "intrinsic" / "CHARUCO" / "xy_CHARUCO.csv")
+        tracker = CharucoTracker(ch)
+        cap = cv2.VideoCapture(str(root / "calibration" / "intrinsic" / "cam_0.mp4"))
+        try:
+            errs, ref_n, our_n = [], 0, 0
+            for fi in range(8):
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+                pkt = tracker.get_points(gray, cam_id=0)
+                sel = (ref.cam_id == 0) & (ref.sync_index == fi)
+                ref_map = {int(k): xy for k, xy in zip(ref.keypoint_id[sel], ref.img_xy[sel])}
+                ours = {int(k): xy for k, xy in zip(pkt.keypoint_id, pkt.img_loc)}
+                ref_n += len(ref_map)
+                our_n += len(ours)
+                for k in set(ref_map) & set(ours):
+                    errs.append(np.linalg.norm(ours[k] - ref_map[k]))
+        finally:
+            cap.release()
+        assert ref_n > 0
+        assert our_n >= ref_n  # we find at least as many corners
+        assert np.mean(errs) < 0.5 and np.max(errs) < 1.0, (np.mean(errs), np.max(errs))
+
     def test_aruco_detection_agrees_with_cv2_on_real_frames(self):
         cv2 = pytest.importorskip("cv2")
 
