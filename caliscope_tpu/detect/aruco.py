@@ -84,7 +84,7 @@ def detect_markers(
     images: np.ndarray,
     dictionary: str | ArucoDictionary,
     *,
-    k_max: int = 32,
+    k_max: int = 64,
     patch: int = 96,
     min_area: int = 49,
     ccl_iters: int = 12,

@@ -95,52 +95,76 @@ class TargetRouting:
 
 
 class CalibrationTargetsRepository:
-    """calibration/targets/ gateway: routing + per-type target configs."""
+    """calibration/targets/ gateway: routing + per-type target configs.
 
-    def __init__(self, targets_dir: Path | str):
+    File names and routing keys mirror the reference layout exactly
+    (reference calibration_targets_repository.py:44-51, 66-93) so a
+    reference workspace drops in unchanged: config.toml with
+    {intrinsic,extrinsic}_target_type keys, intrinsic_charuco.toml,
+    extrinsic_charuco.toml, chessboard.toml, aruco_marker_set.toml.
+    Legacy single-file workspaces (a root-level charuco.toml, the layout
+    of the project's committed test sessions) are read as a fallback.
+    """
+
+    def __init__(self, targets_dir: Path | str, legacy_root: Path | str | None = None):
         self.targets_dir = Path(targets_dir)
+        self.legacy_root = Path(legacy_root) if legacy_root is not None else None
 
     def _routing_path(self) -> Path:
-        return self.targets_dir / "routing.toml"
+        return self.targets_dir / "config.toml"
 
     def get_routing(self) -> TargetRouting:
         if not self._routing_path().exists():
             return TargetRouting()
         d = persistence.load_toml(self._routing_path())
         return TargetRouting(
-            intrinsic=d.get("intrinsic", "charuco"),
-            extrinsic=d.get("extrinsic", "charuco"),
+            intrinsic=d.get("intrinsic_target_type", "charuco"),
+            extrinsic=d.get("extrinsic_target_type", "charuco"),
             extrinsic_charuco_same_as_intrinsic=d.get("extrinsic_charuco_same_as_intrinsic", True),
         )
 
     def save_routing(self, routing: TargetRouting) -> None:
         persistence.safe_write_toml(
             {
-                "intrinsic": routing.intrinsic,
-                "extrinsic": routing.extrinsic,
+                "intrinsic_target_type": routing.intrinsic,
+                "extrinsic_target_type": routing.extrinsic,
                 "extrinsic_charuco_same_as_intrinsic": routing.extrinsic_charuco_same_as_intrinsic,
             },
             self._routing_path(),
         )
 
     # charuco ----------------------------------------------------------------
+    def _legacy_charuco_path(self) -> Path | None:
+        if self.legacy_root is not None:
+            p = self.legacy_root / "charuco.toml"
+            if p.exists():
+                return p
+        return None
+
     def load_intrinsic_charuco(self) -> Charuco:
-        return Charuco.from_toml(self.targets_dir / "charuco_intrinsic.toml")
+        path = self.targets_dir / "intrinsic_charuco.toml"
+        if not path.exists():
+            legacy = self._legacy_charuco_path()
+            if legacy is not None:
+                return Charuco.from_toml(legacy)
+        return Charuco.from_toml(path)
 
     def save_intrinsic_charuco(self, charuco: Charuco) -> None:
-        charuco.to_toml(self.targets_dir / "charuco_intrinsic.toml")
+        charuco.to_toml(self.targets_dir / "intrinsic_charuco.toml")
 
     def intrinsic_charuco_exists(self) -> bool:
-        return (self.targets_dir / "charuco_intrinsic.toml").exists()
+        return (
+            self.targets_dir / "intrinsic_charuco.toml"
+        ).exists() or self._legacy_charuco_path() is not None
 
     def load_extrinsic_charuco(self) -> Charuco:
         routing = self.get_routing()
         if routing.extrinsic_charuco_same_as_intrinsic:
             return self.load_intrinsic_charuco()
-        return Charuco.from_toml(self.targets_dir / "charuco_extrinsic.toml")
+        return Charuco.from_toml(self.targets_dir / "extrinsic_charuco.toml")
 
     def save_extrinsic_charuco(self, charuco: Charuco) -> None:
-        charuco.to_toml(self.targets_dir / "charuco_extrinsic.toml")
+        charuco.to_toml(self.targets_dir / "extrinsic_charuco.toml")
 
     # chessboard -------------------------------------------------------------
     def load_chessboard(self) -> Chessboard:
@@ -154,13 +178,13 @@ class CalibrationTargetsRepository:
 
     # aruco marker set -------------------------------------------------------
     def load_aruco_marker_set(self) -> ArucoMarkerSet:
-        return ArucoMarkerSet.from_toml(self.targets_dir / "aruco_markers.toml")
+        return ArucoMarkerSet.from_toml(self.targets_dir / "aruco_marker_set.toml")
 
     def save_aruco_marker_set(self, marker_set: ArucoMarkerSet) -> None:
-        marker_set.to_toml(self.targets_dir / "aruco_markers.toml")
+        marker_set.to_toml(self.targets_dir / "aruco_marker_set.toml")
 
     def aruco_marker_set_exists(self) -> bool:
-        return (self.targets_dir / "aruco_markers.toml").exists()
+        return (self.targets_dir / "aruco_marker_set.toml").exists()
 
     def get_extrinsic_tracker_name(self) -> str:
         return {"charuco": "CHARUCO", "aruco": "ARUCO", "chessboard": "CHESSBOARD"}[self.get_routing().extrinsic]

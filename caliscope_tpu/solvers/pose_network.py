@@ -133,6 +133,15 @@ def estimate_camera_object_poses(
     svals = np.linalg.svd(centered, compute_uv=False)
     planar = svals[:, 2] < 1e-6 * np.maximum(svals[:, 0], 1e-12)
     ok = np.asarray(n_pts) >= np.where(planar, min_points, MIN_NONPLANAR_PNP_POINTS)
+    # Drop degenerate solves (e.g. 4 collinear corners -> singular homography):
+    # one NaN view would otherwise poison every relative-pose average and
+    # stereo score its camera participates in.
+    finite = (
+        np.isfinite(np.asarray(rvec)).all(axis=1)
+        & np.isfinite(np.asarray(tvec)).all(axis=1)
+        & np.isfinite(np.asarray(rms))
+    )
+    ok = ok & finite
 
     return CameraObjectPoses(
         sync_index=keys[ok, 0],

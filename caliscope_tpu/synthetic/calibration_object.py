@@ -13,11 +13,19 @@ import numpy as np
 
 @dataclass(frozen=True)
 class CalibrationObject:
-    """Keypoints in the object's local frame, keyed by keypoint_id order."""
+    """Keypoints in the object's local frame, keyed by keypoint_id order.
+
+    normal_local is the printed face's outward normal in local coordinates,
+    used only when the scene culls backfaces. Defaults to +z; a two-sided
+    board is two objects on one trajectory with opposite normals (front face
+    -z, back face +z, matching Charuco.object_corners' board frame where z
+    points through the substrate toward the back).
+    """
 
     object_id: int
     points_local: np.ndarray  # (K,3)
     static: bool = False
+    normal_local: tuple[float, float, float] = (0.0, 0.0, 1.0)
 
     def __post_init__(self):
         object.__setattr__(self, "points_local", np.asarray(self.points_local, dtype=np.float64).reshape(-1, 3))

@@ -57,6 +57,48 @@ def ring_with_static_markers(
     return SyntheticScene(scene.cameras, objects, trajectories, noise_sigma_px=noise_sigma_px, seed=seed)
 
 
+def two_sided_ring_scene(
+    n_cameras: int = 6,
+    n_frames: int = 24,
+    noise_sigma_px: float = 0.5,
+    rows: int = 5,
+    columns: int = 7,
+    square_size: float = 0.054,
+    thickness_m: float = 0.006,
+    seed: int = 42,
+):
+    """Ring of cameras around a TWO-SIDED charuco board on an orbital
+    trajectory with backface culling: cameras on the board's printed-front
+    side see object 0, cameras behind see the mirror face as object 1 at
+    z=+thickness with the same keypoint ids (the identity scheme of
+    reference charuco_tracker.py:72-85). Exercises the full cross-face
+    constraint linkage in calibrate_extrinsics.
+
+    Returns (scene, charuco) so callers can build ConstraintSet.from_charuco.
+    """
+    from caliscope_tpu.targets import Charuco
+
+    ch = Charuco(rows=rows, columns=columns, square_size_m=square_size, thickness_m=thickness_m)
+    front = ch.object_corners(0)
+    back = ch.object_corners(1)
+    # center the board's x/y footprint on the trajectory origin (z untouched:
+    # obj_loc back-face z must stay exactly +thickness for identity checks)
+    offset = np.array([front[:, 0].mean(), front[:, 1].mean(), 0.0])
+    cameras = CameraSynthesizer(LensProfile.webcam()).add_ring(n_cameras, radius=2.0, height=0.8).build()
+    obj_front = CalibrationObject(0, front - offset, normal_local=(0.0, 0.0, -1.0))
+    obj_back = CalibrationObject(1, back - offset, normal_local=(0.0, 0.0, 1.0))
+    traj = Trajectory.orbital(n_frames, radius=0.45, height_amplitude=0.25, tilt_amplitude=0.5)
+    scene = SyntheticScene(
+        cameras,
+        [obj_front, obj_back],
+        [traj, traj],
+        noise_sigma_px=noise_sigma_px,
+        seed=seed,
+        cull_backfaces=True,
+    )
+    return scene, ch
+
+
 def narrow_baseline_scene(n_frames: int = 20, separation_deg: float = 8.0, **kw) -> SyntheticScene:
     """Two nearly co-located cameras — ill-conditioned triangulation."""
     sep = np.deg2rad(separation_deg)

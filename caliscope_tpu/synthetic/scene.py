@@ -90,7 +90,7 @@ class SyntheticScene:
                     )
                     vis = in_front & in_frame
                     if self.cull_backfaces:
-                        normal_w = traj[s].rotation @ np.array([0.0, 0.0, 1.0])
+                        normal_w = traj[s].rotation @ np.asarray(o.normal_local, dtype=np.float64)
                         cam_center = -cam.rotation.T @ cam.translation
                         to_cam = cam_center - Xw
                         cosang = (to_cam @ normal_w) / np.maximum(np.linalg.norm(to_cam, axis=1), 1e-9)

@@ -178,14 +178,20 @@ class Charuco:
 
     def object_corners(self, object_id: int = 0) -> np.ndarray:
         """Corner coordinates for the given face: front (0) at z=0, back (1)
-        at z=+thickness with x mirrored about the board's vertical midline
-        (the printed mirror image seen from behind)."""
+        at z=+thickness DIRECTLY BEHIND the same-index front corner.
+
+        The back face carries the mirror print, so a behind-the-board camera
+        sees the front pattern mirrored; detecting on the flipped image and
+        unflipping x recovers corner k at the physical point straight through
+        the substrate from front corner k — same (x, y), z = +thickness
+        (reference charuco_tracker.py:123-140: "ids are always front-face
+        corner indices... back-face detections keep the same keypoint ids").
+        """
         pts = self.chessboard_corners()
         if object_id == 0:
             return pts
         if object_id == 1 and self.two_sided:
             back = pts.copy()
-            back[:, 0] = self.board_width_m - back[:, 0]
             back[:, 2] = self.thickness_m
             return back
         raise ValueError(f"object_id {object_id} invalid for this board (two_sided={self.two_sided})")

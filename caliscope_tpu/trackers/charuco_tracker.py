@@ -86,21 +86,36 @@ class CharucoTracker(Tracker):
             dst.append(corners)
         if not src:
             return None
-        src = np.concatenate(src)
-        dst = np.concatenate(dst)
-        H = _fit_homography(src, dst)
-        if H is None:
-            return None
-
-        # Consistency gate: decoded markers must agree on ONE board
-        # homography. A mirrored board whose flipped bit patterns alias to
-        # other valid ids produces wildly inconsistent placements here.
-        ones = np.ones((len(src), 1))
-        reproj = (H @ np.hstack([src, ones]).T).T
-        reproj = reproj[:, :2] / reproj[:, 2:3]
         marker_px = np.median([np.linalg.norm(c[0] - c[1]) for c in dets.corners])
-        resid = np.linalg.norm(reproj - dst, axis=1)
-        if np.median(resid) > max(3.0, 0.08 * marker_px):
+        gate = max(3.0, 0.08 * marker_px)
+
+        # Marker-consensus homography: the scene may contain standalone
+        # markers that share ids with board markers (or mirror-aliased
+        # decodes); greedily trim markers inconsistent with the board plane
+        # until the survivors agree on ONE homography.
+        src_m = list(src)
+        dst_m = list(dst)
+        H = None
+        while src_m:
+            s = np.concatenate(src_m)
+            t = np.concatenate(dst_m)
+            H = _fit_homography(s, t)
+            if H is None:
+                return None
+            ones = np.ones((len(s), 1))
+            reproj = (H @ np.hstack([s, ones]).T).T
+            reproj = reproj[:, :2] / reproj[:, 2:3]
+            per_marker = np.linalg.norm(reproj - t, axis=1).reshape(-1, 4).mean(axis=1)
+            worst = int(np.argmax(per_marker))
+            if per_marker[worst] <= gate:
+                break
+            if len(src_m) == 1:
+                return None  # nothing consistent remains
+            src_m.pop(worst)
+            dst_m.pop(worst)
+        src = np.concatenate(src_m)
+        dst = np.concatenate(dst_m)
+        if H is None:
             return None
 
         # Orientation gate: a physical front-face view preserves the board's
@@ -196,46 +211,56 @@ class CharucoTracker(Tracker):
         resid = np.linalg.norm(expected[kps] - cand[nearest[kps]], axis=1)
         ok = resid < np.minimum(radii[kps], 0.25 * radii[kps] / self.snap_radius_frac)
         kps = kps[ok]
-        if len(kps) == 0:
+        # a single anchoring marker fits any 4-point homography exactly, so
+        # demand corroborating chessboard corners around it (a lone wall
+        # marker that aliases a board id finds none)
+        min_corners = 4 if len(src_m) == 1 else 1
+        if len(kps) < min_corners:
             return None
-        return kps, cand[nearest[kps]]
+        return kps, cand[nearest[kps]], len(src_m)
 
     def _detect(self, frame: np.ndarray, cam_id: int = 0, rotation_count: int = 0) -> PointPacket:
         gray = frame if frame.ndim == 2 else frame.mean(axis=2)
         if self.charuco.inverted:
             gray = 255.0 - gray.astype(np.float32)
+        # Always try both orientations (reference charuco_tracker.py:56-69):
+        # even a flat board is legitimately seen mirrored from behind
+        # (translucent paper / print-through), and skipping the flip leaves
+        # only the aliased unflipped attempt to win with wrong identities.
         orders = [False, True] if not self._mirror_hint.get(cam_id, False) else [True, False]
-        if not self.charuco.two_sided:
-            orders = [False]
 
-        # A mirrored board can partially alias to valid front-face ids (some
-        # dictionary patterns are near-symmetric), so a weak first result does
-        # not end the search: evaluate the other face and keep the stronger.
-        best = None  # (n_corners, mirrored, kps, img_xy)
+        # A mirrored board can alias to valid front-face ids (some dictionary
+        # patterns are mirror-symmetric, undetectable at single-marker level),
+        # so face selection scores by (surviving consensus markers, corners):
+        # the true face keeps its whole marker set, the aliased one keeps 1-2.
+        best = None  # (score, mirrored, kps, img_xy)
         for mirrored in orders:
             g = gray[:, ::-1] if mirrored else gray
             result = self._detect_face(np.ascontiguousarray(g))
             if result is None:
                 continue
-            kps, img_xy = result
-            if best is None or len(kps) > best[0]:
-                best = (len(kps), mirrored, kps, img_xy)
-            if len(kps) >= 0.6 * self.charuco.n_corners:
+            kps, img_xy, n_markers = result
+            score = (n_markers, len(kps))
+            if best is None or score > best[0]:
+                best = (score, mirrored, kps, img_xy)
+            if n_markers >= 3 and len(kps) >= 0.6 * self.charuco.n_corners:
                 break
 
         if best is None:
             return PointPacket.empty()
-        _n, mirrored, kps, img_xy = best
+        _score, mirrored, kps, img_xy = best
         if mirrored:
             img_xy = img_xy.copy()
             img_xy[:, 0] = gray.shape[1] - 1 - img_xy[:, 0]
-            self._mirror_hint[cam_id] = True
-            object_id = 1
-            obj_loc = self.charuco.object_corners(1)[kps]
-        else:
-            self._mirror_hint[cam_id] = False
-            object_id = 0
-            obj_loc = self.charuco.object_corners(0)[kps]
+        self._mirror_hint[cam_id] = mirrored
+        # Identity split only for a board with real substrate thickness: the
+        # back face is object 1 with the SAME keypoint ids at z=+thickness.
+        # At zero thickness a mirrored view IS the front face seen from
+        # behind, so both share identity and BA fuses them into the same
+        # world points (reference charuco_tracker.py:72-85).
+        is_back = mirrored and self.charuco.thickness_m > 0
+        object_id = 1 if is_back else 0
+        obj_loc = self.charuco.object_corners(object_id)[kps]
         return PointPacket(
             object_id=np.full(len(kps), object_id),
             keypoint_id=kps,

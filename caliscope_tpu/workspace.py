@@ -105,7 +105,9 @@ class Workspace:
         self.recording_dir = self.root / "recordings"
         self.cameras = CameraArrayRepository(self.root / "camera_array.toml")
         self.capture_volume = CaptureVolumeRepository(self.root / "capture_volume")
-        self.targets = CalibrationTargetsRepository(self.calibration_dir / "targets")
+        self.targets = CalibrationTargetsRepository(
+            self.calibration_dir / "targets", legacy_root=self.root
+        )
         self.settings = ProjectSettingsRepository(self.root / "project_settings.toml")
         self.intrinsic_reports = IntrinsicReportRepository(self.root / "intrinsic" / "reports")
 

@@ -83,6 +83,33 @@ class TestHeadlinePoseRecovery:
         assert run.max_translation_m <= TRANSLATION_TOL_M * 2
 
 
+class TestTwoSidedBoard:
+    def test_two_sided_cross_face_pose_recovery(self):
+        """Two-sided board with backface culling: front-viewing and
+        back-viewing cameras are linked ONLY through the board's substrate
+        (cross-face ties at the caliper thickness), and the recovered rig
+        must still meet the headline pose bounds. Locks in the identity
+        convention: back corner k directly behind front corner k at
+        z=+thickness with the same keypoint id (reference
+        charuco_tracker.py:72-85, 123-140) — a mirrored-x back face would
+        fight the cross-face ties and blow these bounds.
+        """
+        from caliscope_tpu.synthetic.factories import two_sided_ring_scene
+
+        scene, ch = two_sided_ring_scene(noise_sigma_px=0.5)
+        ip = scene.image_points_noisy()
+        # both faces must actually be observed for this test to mean anything
+        assert set(np.unique(ip.object_id)) == {0, 1}
+        cs = ConstraintSet.from_charuco(ch)
+        assert any(c.object_id_a != c.object_id_b for c in cs.distances)
+        run = run_production_pipeline(scene, image_points=ip, constraints=cs, refine_intrinsics=False)
+        assert len(run.result.capture_volume.camera_array.posed_cameras) == len(scene.cameras.cameras)
+        assert run.max_rotation_deg <= ROTATION_TOL_DEG, run.pose_errors
+        assert run.max_translation_m <= TRANSLATION_TOL_M, run.pose_errors
+        rigidity = run.result.capture_volume.rigidity_report()
+        assert rigidity.rmse_mm < RIGIDITY_TOL_MM
+
+
 class TestStaticMarkerGuard:
     def test_static_markers_participate(self):
         scene = ring_with_static_markers(n_static_markers=2, noise_sigma_px=0.5)

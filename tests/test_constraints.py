@@ -23,7 +23,9 @@ class TestTargets:
         front = ch.object_corners(0)
         back = ch.object_corners(1)
         assert (back[:, 2] == 0.005).all()
-        np.testing.assert_allclose(back[:, 0], ch.board_width_m - front[:, 0])
+        # back corner k sits DIRECTLY BEHIND front corner k (same x, y):
+        # reference charuco_tracker.py:123-140 keeps front-face keypoint ids
+        np.testing.assert_allclose(back[:, :2], front[:, :2])
         assert ch.expected_object_ids() == frozenset({0, 1})
 
     def test_dictionary_pool_fitting(self):

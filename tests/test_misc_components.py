@@ -96,4 +96,4 @@ class TestCLI:
                 capture_output=True, text=True, cwd="/root/repo", timeout=120,
             )
             assert r.returncode == 0, r.stderr
-        assert (env_ws / "calibration" / "targets" / "routing.toml").exists()
+        assert (env_ws / "calibration" / "targets" / "config.toml").exists()

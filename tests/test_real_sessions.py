@@ -102,6 +102,74 @@ class TestRealSessionParity:
             assert np.sum(v2.image_points.cam_id == cid) > 0
 
 
+class TestFullPipelineOnRealVideo:
+    def test_post_monocal_video_to_calibration(self, tmp_path):
+        """The complete production path on the reference's real 4-camera
+        post_monocal session: raw mp4s -> OUR synchronized extraction -> OUR
+        bootstrap + bundle adjustment, judged against the reference's own
+        committed camera_array.toml. Also exercises the mirrored-face case
+        for real: cam 1 films the translucent board from BEHIND, so its
+        detections only exist through the shared-identity mirror path
+        (reference charuco_tracker.py:56-85).
+
+        Validated bar (2026-08-17): our solve reprojects at ~0.53px where
+        the committed rig scores ~1.18px on identical observations, with
+        camera centers within ~3mm and scale within ~0.3%.
+        """
+        import shutil
+
+        from caliscope_tpu.cameras import CameraArray
+        from caliscope_tpu.workspace import Workspace
+
+        src = SESSIONS / "post_monocal"
+        ws_dir = tmp_path / "pm_ws"
+        (ws_dir / "calibration" / "extrinsic").mkdir(parents=True)
+        shutil.copy(src / "charuco.toml", ws_dir / "charuco.toml")
+        for p in (src / "calibration" / "extrinsic").glob("cam_*.mp4"):
+            shutil.copy(p, ws_dir / "calibration" / "extrinsic" / p.name)
+        committed = CameraArray.from_toml(src / "camera_array.toml")
+        blind = committed.copy()
+        for cam in blind.cameras.values():
+            cam.rotation = None
+            cam.translation = None
+        blind.to_toml(ws_dir / "camera_array.toml")
+
+        ws = Workspace(ws_dir)
+        points = ws.extract_extrinsic_points(frame_step=2)
+        # every camera must contribute, including the mirrored-view cam 1
+        for cid in range(4):
+            assert np.sum(points.cam_id == cid) > 50, f"cam {cid} starved"
+        assert set(points.object_id) == {0}  # zero thickness: shared identity
+
+        run = ws.run_extrinsic_calibration(points)
+        vol = run.capture_volume
+        assert vol.reprojection_report.overall_rmse < 1.0
+        assert len(vol.camera_array.posed_cameras) == 4
+
+        # similarity-align camera centers against the committed rig
+        def center(cam):
+            return -(cam.rotation.T @ cam.translation)
+
+        ids = sorted(vol.camera_array.posed_cameras)
+        A = np.array([center(vol.camera_array.cameras[i]) for i in ids])
+        B = np.array([center(committed.cameras[i]) for i in ids])
+        A0, B0 = A - A.mean(0), B - B.mean(0)
+        U, S, Vt = np.linalg.svd(A0.T @ B0)
+        D = np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))])
+        scale = (S @ np.diag(D)).sum() / (A0**2).sum()
+        resid = np.linalg.norm(scale * A0 @ (U @ D @ Vt) - B0, axis=1)
+        assert resid.max() < 0.010, f"camera centers off by {resid * 1000} mm"
+        assert abs(scale - 1) < 0.01, scale
+
+        # match-or-beat: the committed rig's quality on the same observations
+        from caliscope_tpu.volume import CaptureVolume
+
+        ref_rmse = CaptureVolume(
+            committed, points, points.triangulate(committed)
+        ).reprojection_report.overall_rmse
+        assert vol.reprojection_report.overall_rmse <= ref_rmse
+
+
 class TestRealImageryDetection:
     def test_charuco_detection_matches_reference_extraction_on_real_video(self):
         """Real recorded video of an INVERTED charuco board: our tracker must
