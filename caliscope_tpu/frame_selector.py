@@ -161,7 +161,22 @@ def select_calibration_frames(
         covered |= frames[best]["cells"]
         remaining.remove(best)
 
-    selected = sorted(selected[:target_frames])
+    selected = selected[:target_frames]
+
+    # Orientation-starved sessions: with < 4 tilt bins among the selection,
+    # planar self-calibration is near-degenerate and a small "diverse" subset
+    # can steer the solver into an absurd minimum (observed on the real
+    # prerecorded_calibration cam_1: 15 frames -> fx collapses to ~130 while
+    # all 48 frames give the true ~720). More views of even similar
+    # orientations condition the problem, so fall back toward using every
+    # candidate frame.
+    sel_bins = {frames[si]["bin"] for si in selected if frames[si]["tilt"] >= TILT_MIN_DEG}
+    if len(sel_bins) < 4:
+        for si in sorted(frames):
+            if si not in selected:
+                selected.append(si)
+
+    selected = sorted(selected)
     covered = set()
     bins = set()
     for si in selected:

@@ -309,10 +309,13 @@ class ImagePoints:
         if missing:
             raise ValueError(f"ImagePoints missing required columns: {missing}")
         obj_loc = None
-        if all(c in df.columns for c in ("obj_loc_x", "obj_loc_y", "obj_loc_z")):
-            obj_loc = np.column_stack([df["obj_loc_x"], df["obj_loc_y"], df["obj_loc_z"]])
-            # legacy flat-board CSVs leave obj_loc_z empty: planar implies z=0
-            # (the reference applies the same assumption, capture_volume.py:905)
+        if all(c in df.columns for c in ("obj_loc_x", "obj_loc_y")):
+            # legacy flat-board CSVs (e.g. the project's committed
+            # 4_cam_recording xy.csv) omit obj_loc_z entirely or leave it
+            # empty: planar implies z=0 (the reference applies the same
+            # assumption, capture_volume.py:905)
+            z = df["obj_loc_z"] if "obj_loc_z" in df.columns else np.full(len(df), np.nan)
+            obj_loc = np.column_stack([df["obj_loc_x"], df["obj_loc_y"], z])
             xy_ok = np.isfinite(obj_loc[:, :2]).all(axis=1)
             z_nan = ~np.isfinite(obj_loc[:, 2])
             if z_nan[xy_ok].all() and xy_ok.any():

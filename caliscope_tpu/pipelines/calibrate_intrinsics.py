@@ -22,7 +22,14 @@ from caliscope_tpu.solvers.intrinsics import IntrinsicSolveResult, solve_intrins
 
 logger = logging.getLogger(__name__)
 
-MIN_CORNERS_PER_FRAME = 4
+# Divergence from the reference's MIN_CORNERS_PER_FRAME = 4 (reference
+# calibrate_intrinsics.py:30): a 4-corner planar view fits its homography
+# EXACTLY, so it adds ~2 residual DOF of constraint while contributing a
+# full nonconvex pose block whose bad init can wedge the joint LM (observed
+# on real prerecorded_calibration cam_3: one 4-corner frame sent fx from
+# ~660 to ~1170). cv2.calibrateCamera survives via per-view re-init; our
+# batched solver instead requires frames that overdetermine the homography.
+MIN_CORNERS_PER_FRAME = 6
 
 
 @dataclass(frozen=True)
@@ -86,10 +93,13 @@ def calibrate_intrinsics(
     selected_frames: list[int],
     *,
     fisheye: bool = False,
+    f_scale_px: float | None = None,
 ) -> IntrinsicCalibrationResult:
     """Pure solve over the given frames (reference calibrate_intrinsics:89)."""
     obj, img, mask = _pack_frames(image_points, cam_id, selected_frames)
-    result: IntrinsicSolveResult = solve_intrinsics(obj, img, mask, image_size, fisheye=fisheye)
+    result: IntrinsicSolveResult = solve_intrinsics(
+        obj, img, mask, image_size, fisheye=fisheye, f_scale_px=f_scale_px
+    )
     return IntrinsicCalibrationResult(
         camera_matrix=result.K,
         distortions=result.dist,
@@ -104,9 +114,18 @@ def run_intrinsic_calibration(
     *,
     target_frames: int = 30,
     fisheye: bool | None = None,
+    f_scale_px: float | None = 1.0,
 ) -> IntrinsicCalibrationOutput:
     """Orchestrate: select frames -> solve -> camera + quality report
-    (reference run_intrinsic_calibration:233)."""
+    (reference run_intrinsic_calibration:233).
+
+    Divergence from the reference's cv2.calibrateCamera: the production path
+    defaults to a soft_l1 robust loss at 1 px (f_scale_px) because our
+    tracker commits full-board corner sets (including corners far from any
+    detected marker), which extend distortion coverage but carry a heavier
+    outlier tail than cv2's marker-adjacent-only interpolation. Pass
+    f_scale_px=None for the plain quadratic loss.
+    """
     fe = camera.fisheye if fisheye is None else fisheye
     selected, coverage = select_calibration_frames(image_points, camera.cam_id, camera.size, target_frames)
     if not selected:
@@ -114,7 +133,9 @@ def run_intrinsic_calibration(
             f"No usable calibration frames for camera {camera.cam_id}; "
             f"check detection quality and target visibility."
         )
-    result = calibrate_intrinsics(image_points, camera.cam_id, camera.size, selected, fisheye=fe)
+    result = calibrate_intrinsics(
+        image_points, camera.cam_id, camera.size, selected, fisheye=fe, f_scale_px=f_scale_px
+    )
     new_camera = camera.copy()
     new_camera.matrix = result.camera_matrix
     new_camera.distortions = result.distortions

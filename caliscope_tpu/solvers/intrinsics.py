@@ -99,18 +99,35 @@ def _residuals(params, obj_pts, img_pts, mask, n_dist: int, fisheye: bool, fix_a
 
 
 @partial(jax.jit, static_argnames=("n_dist", "fisheye", "fix_aspect", "max_iter"))
-def _lm_refine(params0, obj_pts, img_pts, mask, n_dist, fisheye, fix_aspect, max_iter=60):
-    def cost_fn(p):
+def _lm_refine(params0, obj_pts, img_pts, mask, n_dist, fisheye, fix_aspect, max_iter=300, robust_f=0.0):
+    """LM over K + dist + per-frame poses; robust_f > 0 enables soft_l1 IRLS
+    at that pixel scale (scipy least_squares convention: weighted residual
+    r * (1 + |r|^2/f^2)^(-1/4), robust cost f^2 * 2(sqrt(1+z) - 1)), which
+    downweights gross snap outliers without discarding edge coverage.
+    robust_f = 0 keeps the exact quadratic cost (cv2.calibrateCamera parity).
+    """
+    robust_f = jnp.asarray(robust_f, params0.dtype)
+    robust = robust_f > 0
+    f2 = jnp.where(robust, robust_f**2, 1.0)
+
+    def point_z(p):
         r = _residuals(p, obj_pts, img_pts, mask, n_dist, fisheye, fix_aspect)
-        return 0.5 * jnp.sum(r**2)
+        return r, jnp.sum(r**2, axis=-1) / f2  # (F,K)
+
+    def cost_fn(p):
+        r, z = point_z(p)
+        robust_cost = jnp.sum(f2 * (jnp.sqrt(1.0 + z) - 1.0))
+        return jnp.where(robust, robust_cost, 0.5 * jnp.sum(r**2))
 
     def flat_res(p):
         return _residuals(p, obj_pts, img_pts, mask, n_dist, fisheye, fix_aspect).ravel()
 
     def step(state):
         p, lam, cost, it, done = state
-        r = flat_res(p)
-        J = jax.jacfwd(flat_res)(p)
+        r_pts, z = point_z(p)
+        w = jnp.where(robust, (1.0 + z) ** -0.25, 1.0)[..., None]  # (F,K,1)
+        r = (r_pts * w).ravel()
+        J = jax.jacfwd(flat_res)(p) * jnp.broadcast_to(w, r_pts.shape).ravel()[:, None]
         g = J.T @ r
         H = J.T @ J
         D = jnp.maximum(jnp.diag(H), 1e-9)
@@ -141,7 +158,8 @@ def solve_intrinsics(
     *,
     fisheye: bool = False,
     fix_aspect: bool = False,
-    max_iter: int = 60,
+    max_iter: int = 300,  # real sessions need ~120 LM iterations (60 truncated mid-descent)
+    f_scale_px: float | None = None,
 ) -> IntrinsicSolveResult:
     """Calibrate K + distortion + per-frame poses from planar-target frames.
 
@@ -151,6 +169,9 @@ def solve_intrinsics(
         mask:    (F, K) validity.
         image_size: (width, height) for the principal-point fallback.
         fisheye: equidistant 4-coef model instead of Brown 5-coef.
+        f_scale_px: soft_l1 scale in pixels for robust refinement; None keeps
+            the quadratic loss (cv2.calibrateCamera parity). The reported
+            rmse is always the raw (unweighted) convention either way.
 
     Matches cv2.calibrateCamera's CALIB_USE_INTRINSIC_GUESS-from-Zhang
     behavior and RMSE convention (sqrt of mean squared point error).
@@ -188,7 +209,41 @@ def solve_intrinsics(
             jnp.concatenate([rvec0, tvec0], axis=1).ravel(),
         ]
     )
-    p, cost, it, done = _lm_refine(params0, obj, img, m.astype(dtype), n_dist, fisheye, fix_aspect, max_iter)
+    robust_f = 0.0 if f_scale_px is None else float(f_scale_px)
+    p, cost, it, done = _lm_refine(
+        params0, obj, img, m.astype(dtype), n_dist, fisheye, fix_aspect, max_iter,
+        robust_f=robust_f,
+    )
+
+    def plausible(params) -> bool:
+        fx_, fy_, cx_, cy_ = (float(x) for x in np.asarray(params)[:4])
+        return (
+            0.1 * w <= fx_ <= 20 * w
+            and 0.1 * w <= fy_ <= 20 * w
+            and -0.5 * w <= cx_ <= 1.5 * w
+            and -0.5 * h <= cy_ <= 1.5 * h
+        )
+
+    if not plausible(p):
+        # Orientation-poor planar sessions admit absurd low-focal minima the
+        # Zhang init can fall into; restart from the neutral fallback
+        # intrinsics and keep whichever solution is physical (lower cost
+        # breaks a tie between two physical solutions).
+        Hn_fb = jnp.linalg.solve(K_fallback[None].repeat(F, 0), H)
+        rvec_fb, tvec_fb = pose_from_homography(Hn_fb)
+        params_fb = jnp.concatenate(
+            [
+                jnp.array([K_fallback[0, 0], K_fallback[1, 1], K_fallback[0, 2], K_fallback[1, 2]], dtype),
+                jnp.zeros(n_dist, dtype),
+                jnp.concatenate([rvec_fb, tvec_fb], axis=1).ravel(),
+            ]
+        )
+        p2, cost2, it2, done2 = _lm_refine(
+            params_fb, obj, img, m.astype(dtype), n_dist, fisheye, fix_aspect, max_iter,
+            robust_f=robust_f,
+        )
+        if plausible(p2) or float(cost2) < float(cost):
+            p, cost, it, done = p2, cost2, it2, done2
 
     r = np.asarray(_residuals(p, obj, img, m.astype(dtype), n_dist, fisheye, fix_aspect))
     n_obs = int(np.asarray(m).sum())

@@ -211,6 +211,7 @@ class CharucoTracker(Tracker):
         resid = np.linalg.norm(expected[kps] - cand[nearest[kps]], axis=1)
         ok = resid < np.minimum(radii[kps], 0.25 * radii[kps] / self.snap_radius_frac)
         kps = kps[ok]
+        kps = self._collinearity_gate(kps, cand, nearest)
         # a single anchoring marker fits any 4-point homography exactly, so
         # demand corroborating chessboard corners around it (a lone wall
         # marker that aliases a board id finds none)
@@ -218,6 +219,45 @@ class CharucoTracker(Tracker):
         if len(kps) < min_corners:
             return None
         return kps, cand[nearest[kps]], len(src_m)
+
+    def _collinearity_gate(self, kps: np.ndarray, cand: np.ndarray, nearest: np.ndarray) -> np.ndarray:
+        """Drop snapped corners that break grid-line collinearity.
+
+        A homography maps board grid lines to image LINES exactly, so a
+        corner's distance to the line through its two opposite snapped
+        neighbors is insensitive to perspective (unlike the H-residual gate,
+        whose radius scales with square size and admits multi-pixel snaps
+        onto spurious X-responses). Residual curvature is only lens
+        distortion over a two-square chord (sub-pixel for real lenses).
+        Iteratively removes the worst offender so one bad corner cannot
+        condemn its good neighbors.
+        """
+        cols = self.charuco.inner_columns
+        gate = 2.0  # px
+
+        def line_dist(p, a, b):
+            d = b - a
+            n = np.linalg.norm(d)
+            if n < 1e-9:
+                return np.inf
+            return abs(d[0] * (p[1] - a[1]) - d[1] * (p[0] - a[0])) / n
+
+        kset = {int(k): cand[nearest[int(k)]] for k in kps}
+        while len(kset) >= 3:
+            worst_k, worst_dev = -1, gate
+            for k, p in kset.items():
+                c, r = k % cols, k // cols
+                devs = []
+                if 0 < c and c < cols - 1 and k - 1 in kset and k + 1 in kset:
+                    devs.append(line_dist(p, kset[k - 1], kset[k + 1]))
+                if k - cols in kset and k + cols in kset:
+                    devs.append(line_dist(p, kset[k - cols], kset[k + cols]))
+                if devs and min(devs) > worst_dev:
+                    worst_k, worst_dev = k, min(devs)
+            if worst_k < 0:
+                break
+            del kset[worst_k]
+        return np.asarray(sorted(kset), np.int64)
 
     def _detect(self, frame: np.ndarray, cam_id: int = 0, rotation_count: int = 0) -> PointPacket:
         gray = frame if frame.ndim == 2 else frame.mean(axis=2)

@@ -108,6 +108,36 @@ class TestBrownModel:
         np.testing.assert_allclose(res.dist[:2], np.ravel(d_cv)[:2], atol=0.01)
 
 
+class TestRobustLoss:
+    def test_soft_l1_resists_gross_outliers(self):
+        """2% of corners snapped to spurious X-responses (5-20 px off): the
+        soft_l1 production default must hold focal accuracy where the
+        quadratic loss degrades (the real-extraction failure mode that
+        motivated it)."""
+        fo, fi, _ = _single_cam_dataset(K_TRUE, DIST_TRUE, n_frames=30, seed=5)
+        rng = np.random.default_rng(99)
+        fi = [u.copy() for u in fi]
+        for u in fi:
+            hit = rng.random(len(u)) < 0.02
+            u[hit] += rng.uniform(5, 20, size=(hit.sum(), 2)) * rng.choice([-1, 1], size=(hit.sum(), 2))
+        obj, img, mask = _pack(fo, fi)
+        plain = solve_intrinsics(obj, img, mask, (1280, 720))
+        robust = solve_intrinsics(obj, img, mask, (1280, 720), f_scale_px=1.0)
+        err_plain = abs(plain.K[0, 0] - K_TRUE[0, 0]) / K_TRUE[0, 0]
+        err_robust = abs(robust.K[0, 0] - K_TRUE[0, 0]) / K_TRUE[0, 0]
+        assert err_robust < 0.01, err_robust
+        assert err_robust <= err_plain + 1e-12
+
+    def test_robust_noop_on_clean_data(self):
+        """On outlier-free data the robust solve matches the plain one."""
+        fo, fi, _ = _single_cam_dataset(K_TRUE, DIST_TRUE, n_frames=20)
+        obj, img, mask = _pack(fo, fi)
+        plain = solve_intrinsics(obj, img, mask, (1280, 720))
+        robust = solve_intrinsics(obj, img, mask, (1280, 720), f_scale_px=1.0)
+        assert robust.K[0, 0] == pytest.approx(plain.K[0, 0], rel=0.005)
+        assert robust.K[1, 1] == pytest.approx(plain.K[1, 1], rel=0.005)
+
+
 class TestFisheyeModel:
     def test_recovers_ground_truth(self):
         K = np.array([[620.0, 0, 640.0], [0, 618.0, 360.0], [0, 0, 1.0]])

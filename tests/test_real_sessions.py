@@ -49,6 +49,39 @@ class TestFormatInterop:
         assert points.any_obj_loc
 
 
+class TestLegacyFormatInterop:
+    def test_reads_legacy_xy_csv_without_obj_loc_z(self):
+        """The committed 4_cam_recording xy.csv predates the obj_loc_z
+        column (and carries extra frame_index/frame_time columns): planar
+        obj_loc must load with z=0, not collapse to NaN."""
+        from caliscope_tpu.observations import ImagePoints
+
+        ip = ImagePoints.from_csv(SESSIONS / "4_cam_recording" / "calibration" / "extrinsic" / "xy.csv")
+        assert len(ip) > 1500
+        assert ip.any_obj_loc
+        assert np.nanmax(np.abs(ip.obj_loc[:, 2])) == 0.0
+
+    def test_resolve_beats_committed_rig_on_legacy_extraction(self):
+        """Strip extrinsics, re-solve the legacy committed extraction with
+        our bootstrap + BA: match-or-beat the committed calibration
+        (validated 2026-08-17: 0.637px ours vs 0.833px committed)."""
+        from caliscope_tpu.cameras import CameraArray
+        from caliscope_tpu.observations import ImagePoints
+        from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
+        from caliscope_tpu.volume import CaptureVolume
+
+        root = SESSIONS / "4_cam_recording"
+        ip = ImagePoints.from_csv(root / "calibration" / "extrinsic" / "xy.csv")
+        cams = CameraArray.from_toml(root / "camera_array.toml")
+        ref_rmse = CaptureVolume(cams, ip, ip.triangulate(cams)).reprojection_report.overall_rmse
+
+        v = CaptureVolume.bootstrap(ip, strip_extrinsics(cams))
+        v = v.optimize(refine_intrinsics=False)
+        v = v.filter_by_percentile_error(2.5).optimize(refine_intrinsics=False)
+        assert v.reprojection_report.overall_rmse <= ref_rmse
+        assert len(v.camera_array.posed_cameras) == len(cams.posed_cameras)
+
+
 class TestRealSessionParity:
     def test_reference_solution_reprojects_well_under_our_metrics(self, post_optimization_session):
         """Their calibrated cameras + our triangulation/reprojection agree the
@@ -168,6 +201,96 @@ class TestFullPipelineOnRealVideo:
             committed, points, points.triangulate(committed)
         ).reprojection_report.overall_rmse
         assert vol.reprojection_report.overall_rmse <= ref_rmse
+
+
+    def test_4cam_recording_video_to_calibration_with_real_timestamps(self, tmp_path):
+        """Raw 4_cam_recording mp4s + the REAL recorded timestamps.csv (live
+        frame times with per-camera jitter, sync indices starting at 416) ->
+        our synchronized extraction -> full calibration, judged against the
+        committed rig. Exercises the timestamp-file sync path end-to-end
+        (validated 2026-08-17 at frame_step=1: 0.58px, centers within 1.8mm,
+        scale 0.27%)."""
+        import shutil
+
+        from caliscope_tpu.cameras import CameraArray
+        from caliscope_tpu.workspace import Workspace
+
+        src = SESSIONS / "4_cam_recording"
+        ws_dir = tmp_path / "ws"
+        (ws_dir / "calibration" / "extrinsic").mkdir(parents=True)
+        shutil.copy(src / "charuco.toml", ws_dir / "charuco.toml")
+        for name in ["cam_0.mp4", "cam_1.mp4", "cam_2.mp4", "cam_3.mp4", "timestamps.csv"]:
+            shutil.copy(src / "calibration" / "extrinsic" / name, ws_dir / "calibration" / "extrinsic" / name)
+        committed = CameraArray.from_toml(src / "camera_array.toml")
+        blind = committed.copy()
+        for cam in blind.cameras.values():
+            cam.rotation = None
+            cam.translation = None
+        blind.to_toml(ws_dir / "camera_array.toml")
+
+        ws = Workspace(ws_dir)
+        points = ws.extract_extrinsic_points(frame_step=2)
+        for cid in range(4):
+            assert np.sum(points.cam_id == cid) > 100, f"cam {cid} starved"
+        run = ws.run_extrinsic_calibration(points)
+        vol = run.capture_volume
+        assert vol.reprojection_report.overall_rmse < 1.0
+        assert len(vol.camera_array.posed_cameras) == 4
+
+        def center(cam):
+            return -(cam.rotation.T @ cam.translation)
+
+        ids = sorted(vol.camera_array.posed_cameras)
+        A = np.array([center(vol.camera_array.cameras[i]) for i in ids])
+        B = np.array([center(committed.cameras[i]) for i in ids])
+        A0, B0 = A - A.mean(0), B - B.mean(0)
+        U, S, Vt = np.linalg.svd(A0.T @ B0)
+        D = np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))])
+        scale = (S @ np.diag(D)).sum() / (A0**2).sum()
+        resid = np.linalg.norm(scale * A0 @ (U @ D @ Vt) - B0, axis=1)
+        assert resid.max() < 0.010, f"camera centers off by {resid * 1000} mm"
+        assert abs(scale - 1) < 0.01, scale
+
+
+class TestRealIntrinsicCalibration:
+    def test_mirrored_camera_intrinsics_from_real_video(self):
+        """Intrinsic calibration of cam 1 of the prerecorded_calibration
+        session — the camera that films the board's MIRRORED face, so every
+        observation comes through the flip-detect path — must land within 5%
+        of the focal length the reference project committed for the same
+        physical camera (post_monocal camera_array.toml: fx=704.0), and
+        within 2% of cv2.calibrateCamera run on our own extraction.
+
+        Also regression-guards two real failure modes found on this session:
+        the absurd low-focal minimum on orientation-starved selections
+        (fx collapsed to ~130) and mid-descent truncation at 60 LM iters.
+        """
+        cv2 = pytest.importorskip("cv2")
+
+        from caliscope_tpu.api import calibrate_intrinsics, extract_image_points
+        from caliscope_tpu.cameras import CameraData
+        from caliscope_tpu.targets import Charuco
+        from caliscope_tpu.trackers import CharucoTracker
+
+        root = SESSIONS / "prerecorded_calibration"
+        ch = Charuco.from_toml(root / "charuco.toml")
+        pts = extract_image_points(
+            root / "calibration" / "intrinsic" / "cam_1.mp4", 1, CharucoTracker(ch), frame_step=1, progress=None
+        )
+        assert len(pts) > 400
+        out = calibrate_intrinsics(pts, CameraData(cam_id=1, size=(1280, 720)))
+        fx, fy = out.camera.matrix[0, 0], out.camera.matrix[1, 1]
+        assert abs(fx / 704.0 - 1) < 0.05, fx
+        assert abs(fy / 706.2 - 1) < 0.05, fy
+
+        objp, imgp = [], []
+        for s in sorted(set(pts.sync_index)):
+            m = pts.sync_index == s
+            if m.sum() >= 6:
+                objp.append(pts.obj_loc[m].astype(np.float32))
+                imgp.append(pts.img_xy[m].astype(np.float32).reshape(-1, 1, 2))
+        _rms, K_cv, _d, _, _ = cv2.calibrateCamera(objp, imgp, (1280, 720), None, None)
+        assert abs(fx / K_cv[0, 0] - 1) < 0.02, (fx, K_cv[0, 0])
 
 
 class TestRealImageryDetection:
