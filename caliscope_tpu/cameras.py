@@ -63,9 +63,16 @@ class CameraData:
         if self.rotation is not None:
             r = np.asarray(self.rotation, dtype=np.float64)
             if r.shape in [(3,), (3, 1), (1, 3)]:
-                from caliscope_tpu.ops.lie import so3_exp
-
-                r = np.asarray(so3_exp(np.ravel(r)))
+                # host numpy Rodrigues: loading a many-camera TOML must not
+                # pay one device dispatch per camera (tunnel round trips)
+                rv = np.ravel(r)
+                theta = float(np.linalg.norm(rv))
+                if theta < 1e-12:
+                    r = np.eye(3)
+                else:
+                    k = rv / theta
+                    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+                    r = np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
             self.rotation = r.reshape(3, 3)
 
     @property
@@ -329,6 +336,9 @@ class CameraArray:
         cameras: dict[int, CameraData] = {}
         for cam_id_str, cd in data["cameras"].items():
             try:
+                # legacy serializer wrote missing optionals as the string
+                # "null" (reference sessions point_estimate_creation/*)
+                cd = {k: (None if v == "null" else v) for k, v in cd.items()}
                 cam_id = int(cam_id_str)
                 cameras[cam_id] = CameraData(
                     cam_id=cam_id,

@@ -91,6 +91,7 @@ def nms_corners(response, k_max: int, rel_threshold: float = 0.2, window: int = 
 
 
 @partial(jax.jit, static_argnames=("win", "iters"))
+@partial(jax.jit, static_argnames=("win", "iters"))
 def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
     """cornerSubPix-equivalent saddle refinement.
 

@@ -37,6 +37,37 @@ MIN_NONPLANAR_PNP_POINTS = 6
 DEFAULT_OUTLIER_THRESHOLD = 1.5  # IQR multiplier
 
 
+def _np_so3_exp(rvec: np.ndarray) -> np.ndarray:
+    """Host-side Rodrigues exp: persistence paths must not touch the device
+    (an eager so3_exp per stored pair means one tunnel round trip each)."""
+    theta = float(np.linalg.norm(rvec))
+    if theta < 1e-12:
+        return np.eye(3)
+    k = rvec / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def _np_so3_log(R: np.ndarray) -> np.ndarray:
+    """Host-side Rodrigues log (see _np_so3_exp)."""
+    cos_t = np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)
+    theta = float(np.arccos(cos_t))
+    if theta < 1e-12:
+        return np.zeros(3)
+    if abs(theta - np.pi) < 1e-6:
+        A = (R + np.eye(3)) / 2
+        axis = np.sqrt(np.maximum(np.diag(A), 0))
+        if axis[0] > 0:
+            axis[1] = np.copysign(axis[1], A[0, 1])
+            axis[2] = np.copysign(axis[2], A[0, 2])
+        elif axis[1] > 0:
+            axis[2] = np.copysign(axis[2], A[1, 2])
+        n = np.linalg.norm(axis)
+        return theta * (axis / n if n > 0 else np.array([1.0, 0, 0]))
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return theta / (2 * np.sin(theta)) * w
+
+
 # ---------------------------------------------------------------------------
 # Stage 1: batched camera-to-object PnP
 # ---------------------------------------------------------------------------
@@ -477,30 +508,42 @@ class PairedPoseNetwork:
 
     # ---- persistence -------------------------------------------------------
     def to_toml(self, path: Path | str) -> None:
+        """Write the reference's stereo_pairs.toml schema verbatim
+        (reference paired_pose_network.py:281-315): keys ``stereo_{a}_{b}``
+        for forward pairs only, fields RMSE / rotation (Rodrigues) /
+        translation — so the file interoperates both ways."""
         from caliscope_tpu import persistence
 
         data = {}
         for (a, b), sp in sorted(self._pairs.items()):
-            data[f"pair_{a}_{b}"] = {
-                "primary_cam_id": a,
-                "secondary_cam_id": b,
-                "error_score": float(sp.error_score),
-                "rotation": np.asarray(lie.so3_log(sp.rotation)).tolist(),
-                "translation": sp.translation.tolist(),
+            if a >= b:
+                continue
+            data[f"stereo_{a}_{b}"] = {
+                "RMSE": float(sp.error_score),
+                "rotation": _np_so3_log(sp.rotation).tolist(),
+                "translation": sp.translation.reshape(-1).tolist(),
             }
         persistence.safe_write_toml(data, path)
 
     @classmethod
     def from_toml(cls, path: Path | str) -> "PairedPoseNetwork":
+        """Read stereo_pairs.toml (reference paired_pose_network.py:212-275):
+        cam ids from the ``stereo_{a}_{b}`` key, translation accepted as (3,)
+        or column (3,1), full graph reconstructed via bridging."""
         from caliscope_tpu import persistence
 
         data = persistence.load_toml(path)
         pairs = {}
-        for v in data.values():
-            a, b = int(v["primary_cam_id"]), int(v["secondary_cam_id"])
-            R = np.asarray(lie.so3_exp(np.asarray(v["rotation"], dtype=np.float64)))
-            pairs[(a, b)] = StereoPair(a, b, float(v["error_score"]), R, np.asarray(v["translation"]))
-        return cls(pairs)
+        for key, v in data.items():
+            name_parts = str(key).split("_")
+            if len(name_parts) != 3:
+                logger.warning(f"Skipping invalid stereo pair key: {key}")
+                continue
+            a, b = int(name_parts[1]), int(name_parts[2])
+            R = _np_so3_exp(np.asarray(v["rotation"], dtype=np.float64))
+            t = np.asarray(v["translation"], dtype=np.float64).reshape(-1)
+            pairs[(a, b)] = StereoPair(a, b, float(v.get("RMSE", 0.0)), R, t)
+        return cls.from_raw_estimates(pairs)
 
 
 # ---------------------------------------------------------------------------

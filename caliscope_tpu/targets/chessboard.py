@@ -1,9 +1,13 @@
 """Plain chessboard calibration target.
 
 Parity: reference src/caliscope/core/chessboard.py (Chessboard:8). Identity
-scheme: object_id=0, keypoint_id = inner-corner index (row-major, x fastest),
-matching the ChArUco inner-corner layout so the two board types share
-constraint compilation and solvers.
+scheme: object_id=0, keypoint_id = internal-corner index (row-major, x
+fastest). Conventions match the reference exactly so its chessboard.toml
+files and xy CSVs drop in unchanged: rows/columns count INTERNAL CORNERS
+(reference chessboard.py:18-19 — "e.g., 6 for 7 rows of squares"), the
+origin sits at the top-left internal corner (corner k at
+(k % columns * s, k // columns * s, 0), reference :35-49), and TOML carries
+square_size_cm in centimeters (reference :82-85).
 """
 
 from __future__ import annotations
@@ -16,7 +20,7 @@ import numpy as np
 
 @dataclass(frozen=True)
 class Chessboard:
-    """rows x columns SQUARES (inner corners are (rows-1) x (columns-1))."""
+    """rows x columns INTERNAL CORNERS (a board of (rows+1) x (columns+1) squares)."""
 
     rows: int
     columns: int
@@ -24,51 +28,51 @@ class Chessboard:
 
     def __post_init__(self):
         if self.rows < 2 or self.columns < 2:
-            raise ValueError("Chessboard needs at least 2x2 squares")
+            raise ValueError("Chessboard needs at least a 2x2 internal corner grid")
         if self.square_size_m is not None and self.square_size_m <= 0:
             raise ValueError(f"square_size_m must be positive, got {self.square_size_m}")
 
     @property
     def inner_rows(self) -> int:
-        return self.rows - 1
+        return self.rows
 
     @property
     def inner_columns(self) -> int:
-        return self.columns - 1
+        return self.columns
 
     @property
     def n_corners(self) -> int:
-        return self.inner_rows * self.inner_columns
+        return self.rows * self.columns
 
     def object_points(self) -> np.ndarray:
-        """(N, 3) inner-corner coordinates; unit spacing when square size is
-        unknown (intrinsics-only use), meters when set."""
+        """(N, 3) internal-corner coordinates, origin at the top-left corner;
+        unit spacing when square size is unknown (intrinsics-only use),
+        meters when set (reference chessboard.py:31-49)."""
         s = self.square_size_m if self.square_size_m is not None else 1.0
-        cols, rows = self.inner_columns, self.inner_rows
-        xs, ys = np.meshgrid(np.arange(1, cols + 1), np.arange(1, rows + 1))
-        pts = np.zeros((rows * cols, 3))
+        xs, ys = np.meshgrid(np.arange(self.columns), np.arange(self.rows))
+        pts = np.zeros((self.n_corners, 3))
         pts[:, 0] = xs.ravel() * s
         pts[:, 1] = ys.ravel() * s
         return pts
 
     def connectivity(self) -> list[tuple[int, int]]:
-        """Grid-neighbor edges for wireframe overlays."""
-        cols = self.inner_columns
+        """Grid-neighbor edges for wireframe overlays (reference :90-103)."""
+        cols = self.columns
         edges = []
         for k in range(self.n_corners):
             c, r = k % cols, k // cols
             if c + 1 < cols:
                 edges.append((k, k + 1))
-            if r + 1 < self.inner_rows:
+            if r + 1 < self.rows:
                 edges.append((k, k + cols))
         return edges
 
     def to_toml(self, path: Path | str) -> None:
         from caliscope_tpu import persistence
 
-        data = {"type": "chessboard", "rows": self.rows, "columns": self.columns}
+        data: dict = {"rows": self.rows, "columns": self.columns}
         if self.square_size_m is not None:
-            data["square_size_m"] = self.square_size_m
+            data["square_size_cm"] = self.square_size_m * 100.0
         persistence.safe_write_toml(data, path)
 
     @classmethod
@@ -76,4 +80,10 @@ class Chessboard:
         from caliscope_tpu import persistence
 
         d = persistence.load_toml(path)
-        return cls(rows=int(d["rows"]), columns=int(d["columns"]), square_size_m=d.get("square_size_m"))
+        if "square_size_cm" in d:
+            size_m = float(d["square_size_cm"]) / 100.0
+        elif "square_size_m" in d:
+            size_m = float(d["square_size_m"])
+        else:
+            size_m = None
+        return cls(rows=int(d["rows"]), columns=int(d["columns"]), square_size_m=size_m)

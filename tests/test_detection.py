@@ -187,7 +187,9 @@ class TestChessboardTracker:
                     board[r * sq : (r + 1) * sq, c * sq : (c + 1) * sq] = 255
         board = cv2.copyMakeBorder(board, 40, 40, 40, 40, cv2.BORDER_CONSTANT, value=255)
         img, H = _warp(board, [[90.4, 70.2], [530.7, 95.8], [500.3, 400.1], [110.9, 380.6]])
-        cb = Chessboard(rows=rows, columns=cols, square_size_m=0.06)
+        # rows/columns count INTERNAL corners (reference convention): the
+        # rendered board has `rows x cols` squares -> (rows-1) x (cols-1)
+        cb = Chessboard(rows=rows - 1, columns=cols - 1, square_size_m=0.06)
         pkt = ChessboardTracker(cb).get_points(img)
         assert len(pkt) == cb.n_corners
         # occluded -> all-or-nothing empty

@@ -82,6 +82,60 @@ class TestLegacyFormatInterop:
         assert len(v.camera_array.posed_cameras) == len(cams.posed_cameras)
 
 
+class TestStereoPairsInterop:
+    """The reference's stereo_pairs.toml files (its pose-network persistence,
+    paired_pose_network.py:212-315) load directly: cam ids from the
+    stereo_{a}_{b} keys, Rodrigues rotations, graph rebuilt via bridging."""
+
+    def test_fully_linked_network_reproduces_committed_rig(self):
+        from caliscope_tpu.cameras import CameraArray
+        from caliscope_tpu.solvers.pose_network import PairedPoseNetwork
+        from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
+
+        root = SESSIONS / "point_estimate_creation" / "fully_linked"
+        cams = CameraArray.from_toml(root / "camera_array.toml")  # 11 cams, "null" legacy fields
+        net = PairedPoseNetwork.from_toml(root / "stereo_pairs.toml")
+        blind = strip_extrinsics(cams)
+        net.apply_to(blind)
+        assert len(blind.posed_cameras) == 11
+
+        def center(c):
+            return -(c.rotation.T @ c.translation)
+
+        ids = sorted(blind.posed_cameras)
+        A = np.array([center(blind.cameras[i]) for i in ids])
+        B = np.array([center(cams.cameras[i]) for i in ids])
+        A0, B0 = A - A.mean(0), B - B.mean(0)
+        U, S, Vt = np.linalg.svd(A0.T @ B0)
+        D = np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))])
+        s = (S @ np.diag(D)).sum() / (A0**2).sum()
+        resid = np.linalg.norm(s * A0 @ (U @ D @ Vt) - B0, axis=1)
+        # pre-BA daisy-chained bootstrap vs the BA-refined committed rig
+        assert resid.max() < 0.05, resid
+        assert abs(s - 1) < 0.02
+
+    def test_unlinked_camera_stays_unposed(self):
+        from caliscope_tpu.cameras import CameraArray
+        from caliscope_tpu.solvers.pose_network import PairedPoseNetwork
+        from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
+
+        root = SESSIONS / "point_estimate_creation" / "unlinked_camera"
+        blind = strip_extrinsics(CameraArray.from_toml(root / "camera_array.toml"))
+        PairedPoseNetwork.from_toml(root / "stereo_pairs.toml").apply_to(blind)
+        assert len(blind.posed_cameras) == 5
+        assert 5 not in blind.posed_cameras  # the deliberately unlinked camera
+
+    def test_insufficient_pairs_pose_largest_component_only(self):
+        from caliscope_tpu.cameras import CameraArray
+        from caliscope_tpu.solvers.pose_network import PairedPoseNetwork
+        from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
+
+        root = SESSIONS / "not_sufficient_stereopairs"
+        blind = strip_extrinsics(CameraArray.from_toml(root / "camera_array.toml"))
+        PairedPoseNetwork.from_toml(root / "stereo_pairs.toml").apply_to(blind)
+        assert 0 < len(blind.posed_cameras) < len(blind.cameras)
+
+
 class TestRealSessionParity:
     def test_reference_solution_reprojects_well_under_our_metrics(self, post_optimization_session):
         """Their calibrated cameras + our triangulation/reprojection agree the
@@ -252,6 +306,39 @@ class TestFullPipelineOnRealVideo:
         assert abs(scale - 1) < 0.01, scale
 
 
+class TestRealChessboardDetection:
+    def test_chessboard_frames_all_or_nothing(self):
+        """The reference's real chessboard contract (its tests/test_chessboard.py
+        :144-171) on its own committed frames: every board-visible frame yields
+        the complete 54-corner grid, the no-board frame yields nothing, and
+        corners agree with cv2.findChessboardCorners + cornerSubPix."""
+        cv2 = pytest.importorskip("cv2")
+
+        from caliscope_tpu.targets import Chessboard
+        from caliscope_tpu.trackers import ChessboardTracker
+
+        d = SESSIONS / "chessboard_intrinsic"
+        tracker = ChessboardTracker(Chessboard(rows=6, columns=9, square_size_m=0.025))
+        crit = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 30, 1e-4)
+
+        img = cv2.imread(str(d / "cam_0_frame_000.jpg"), 0)
+        assert len(tracker.get_points(img)) == 0  # no board in view
+
+        board_frames = [
+            "cam_0_frame_100", "cam_0_frame_200", "cam_0_frame_300",
+            "cam_0_frame_1070", "cam_1_frame_1070", "cam_2_frame_1070", "cam_3_frame_1070",
+        ]
+        for name in board_frames:
+            img = cv2.imread(str(d / f"{name}.jpg"), 0)
+            pkt = tracker.get_points(img)
+            assert len(pkt) == 54, f"{name}: {len(pkt)}/54"
+            ok, cc = cv2.findChessboardCorners(img, (9, 6))
+            assert ok
+            cc = cv2.cornerSubPix(img, cc, (5, 5), (-1, -1), crit)
+            dist = np.linalg.norm(pkt.img_loc[:, None] - cc.reshape(-1, 2)[None], axis=2).min(axis=1)
+            assert dist.mean() < 1.0, (name, dist.mean())
+
+
 class TestRealIntrinsicCalibration:
     def test_mirrored_camera_intrinsics_from_real_video(self):
         """Intrinsic calibration of cam 1 of the prerecorded_calibration
@@ -291,6 +378,66 @@ class TestRealIntrinsicCalibration:
                 imgp.append(pts.img_xy[m].astype(np.float32).reshape(-1, 1, 2))
         _rms, K_cv, _d, _, _ = cv2.calibrateCamera(objp, imgp, (1280, 720), None, None)
         assert abs(fx / K_cv[0, 0] - 1) < 0.02, (fx, K_cv[0, 0])
+
+
+class TestRealH264Decode:
+    def test_h264_fixture_decode_and_properties(self):
+        """The reference's h264 fixtures (fractional 59.94 fps, B-frames)
+        decode completely with matching metadata (its
+        test_frame_source_iter_frames.py contract)."""
+        from caliscope_tpu.media import FrameSource, read_video_properties
+
+        for c in (0, 1):
+            p = SESSIONS / "h264_extrinsic" / f"cam_{c}.mp4"
+            props = read_video_properties(p)
+            assert abs(props.fps - 59.94) < 0.01
+            src = FrameSource(p, c)
+            n = 0
+            try:
+                while src.next_frame() is not None:
+                    n += 1
+            finally:
+                src.close()
+            assert n == props.frame_count == 180
+
+
+class TestRealRecordingReconstruction:
+    def test_2cam_recording_to_trc(self, tmp_path):
+        """Full reconstruction path on the charuco_calibration_2_cam session:
+        real recording videos + the committed 2-camera rig -> synchronized
+        extraction -> triangulation -> xyz CSV / labelled CSV / TRC exports.
+        Geometric self-check: triangulated neighbor corners must reproduce
+        the physical 54 mm square size (validated 2026-08-17 at frame_step=2:
+        0.36 mm mean edge error)."""
+        import shutil
+
+        from caliscope_tpu.observations import WorldPoints
+        from caliscope_tpu.targets import Charuco
+        from caliscope_tpu.workspace import Workspace
+
+        src = SESSIONS / "charuco_calibration_2_cam"
+        ws_dir = tmp_path / "ws"
+        shutil.copytree(src, ws_dir)
+        ws = Workspace(ws_dir)
+        ws.reconstruct_recording("recording_1", frame_step=4)
+
+        out = ws_dir / "recordings" / "recording_1" / "CHARUCO"
+        assert (out / "xyz_CHARUCO.csv").exists()
+        assert (out / "xyz_CHARUCO.trc").exists()
+        assert (out / "xyz_CHARUCO_labelled.csv").exists()
+
+        ch = Charuco.from_toml(ws_dir / "charuco.toml")
+        wp = WorldPoints.from_csv(out / "xyz_CHARUCO.csv")
+        assert len(wp) > 200
+        errs = []
+        for s in sorted(set(wp.sync_index)):
+            m = wp.sync_index == s
+            pos = {int(k): x for k, x in zip(wp.keypoint_id[m], wp.xyz[m])}
+            for k in pos:
+                if (k + 1) in pos and k % ch.inner_columns != ch.inner_columns - 1:
+                    errs.append(abs(np.linalg.norm(pos[k] - pos[k + 1]) - ch.square_size_m))
+        assert len(errs) > 50
+        assert float(np.mean(errs)) < 0.002  # 2 mm on a 54 mm square
 
 
 class TestRealImageryDetection:
