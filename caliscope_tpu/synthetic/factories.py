@@ -137,9 +137,12 @@ def depth_varied_scene(n_cameras: int = 4, n_frames: int = 24, **kw) -> Syntheti
 
 
 def sparse_coverage_scene(n_cameras: int = 6, n_frames: int = 30, **kw) -> SyntheticScene:
-    """Wider ring + smaller orbit: distant camera pairs share few or no
-    observations, forcing transitive pose chaining."""
-    cameras = CameraSynthesizer(LensProfile.machine_vision()).add_ring(n_cameras, radius=2.5, height=0.7).build()
+    """Chain-like coverage: the board orbits near the ring edge FACING
+    OUTWARD with backface culling, so only the cameras ahead of its printed
+    face see it at any instant — distant camera pairs share few or no
+    observations, forcing transitive pose chaining (the reference's
+    chain-linked topology, tests/synthetic/test_chain_linked.py)."""
+    cameras = CameraSynthesizer(LensProfile.webcam()).add_ring(n_cameras, radius=2.5, height=0.7).build()
     board = CalibrationObject.planar_grid(object_id=0, rows=4, cols=6, spacing=0.06)
-    traj = Trajectory.orbital(n_frames, radius=0.9, height_amplitude=0.2, tilt_amplitude=0.6)
-    return SyntheticScene(cameras, [board], [traj], **kw)
+    traj = Trajectory.orbital(n_frames, radius=1.1, height_amplitude=0.2, tilt_amplitude=0.4)
+    return SyntheticScene(cameras, [board], [traj], cull_backfaces=True, **kw)
