@@ -70,3 +70,27 @@ def test_full_solve_on_sharded_problem(problem_setup):
     res_ref = lm_solve(problem, cam9, X0, BAConfig(max_iter=20, solver="cg"))
     res_sh = lm_solve(sharded, cam9, X0, BAConfig(max_iter=20, solver="cg"))
     assert res_sh.cost_final == pytest.approx(res_ref.cost_final, rel=1e-8)
+
+
+def test_sharded_program_contracts_obs_axis_with_collectives(problem_setup):
+    """The compiled SPMD iteration must reduce the sharded observation axis
+    with all-reduce collectives (the ICI-riding psums of the design in
+    parallel/sharded.py) — not by gathering observations to one device.
+    Verified on the compiled HLO: all-reduces present, no all-gather of the
+    full observation arrays."""
+    problem, cam9, X0 = problem_setup
+    mesh = make_obs_mesh()
+    sharded = shard_problem(problem, mesh)
+    lam = np.asarray(1e-4, dtype=np.asarray(problem.uv).dtype)
+    lowered = jax.jit(
+        lambda p, c, x, l: lm_iteration(p, c, x, l, cg_max_iter=100)
+    ).lower(sharded, jnp.asarray(cam9), jnp.asarray(X0), jnp.asarray(lam))
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo
+    # the (N, 2, 9) camera Jacobian blocks must never be materialized
+    # replicated: an all-gather of a tensor with the padded obs-axis length
+    # would mean the reduction pulled data instead of reducing in place
+    n_pad = sharded.uv.shape[0]
+    for line in hlo.splitlines():
+        if "all-gather" in line and f"{n_pad}," in line:
+            raise AssertionError(f"full-observation all-gather found: {line.strip()}")
