@@ -87,7 +87,12 @@ def detect_markers(
     k_max: int = 64,
     patch: int = 96,
     min_area: int = 49,
-    ccl_iters: int = 12,
+    # 4 row/col propagation rounds: marker blobs are convex, which converges
+    # in 2-3 rounds; 12 was tuned for snake-like components that only
+    # under-merged background clutter (rejected downstream by border +
+    # dictionary gates anyway). CCL is the detection pipeline's dominant
+    # cost on TPU (~286 ms/frame at 12 iters, measured batch-16 @ 720p).
+    ccl_iters: int = 4,
     border_frac: float = 0.80,
 ) -> list[MarkerDetections]:
     """Detect ArUco markers in a (B, H, W) gray frame stack.
