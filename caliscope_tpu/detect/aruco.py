@@ -85,6 +85,9 @@ def detect_markers(
     dictionary: str | ArucoDictionary,
     *,
     k_max: int = 64,
+    # patch 96: edge refinement runs in patch coordinates, so large markers
+    # (200+ px) need the resolution to hold sub-0.5 px corners; 64 matches
+    # 96 on real-session marker sizes but degrades the large-marker bound
     patch: int = 96,
     min_area: int = 49,
     # 4 row/col propagation rounds: marker blobs are convex, which converges
