@@ -210,6 +210,24 @@ class ExtrinsicCalibrationPresenter:
         if v is not None:
             self._update_volume(v.align_to_object(sync_index, object_id))
 
+    def orient_gravity(self) -> None:
+        """Consensus gravity-up -> +Z (reference origin options)."""
+        v = self.capture_volume
+        if v is not None:
+            self._update_volume(v.oriented())
+
+    def ground(self) -> None:
+        """Floor (1st-percentile of point heights) to z=0."""
+        v = self.capture_volume
+        if v is not None:
+            self._update_volume(v.grounded())
+
+    def center(self) -> None:
+        """Centroid of the world points to the origin."""
+        v = self.capture_volume
+        if v is not None:
+            self._update_volume(v.centered())
+
     def get_origin_options(self) -> list[OriginOption]:
         """Marker instances suitable as the world origin."""
         v = self.capture_volume
