@@ -83,6 +83,25 @@ class ConstraintSet:
     # ({0} or {0, 1}) so the pipeline can fail loudly on a thickness mismatch.
     back_face_thickness_m: float | None = None
 
+    def without_objects(self, object_ids: frozenset[int]) -> "ConstraintSet":
+        """A copy with every constraint touching the given objects removed
+        (remaps and thickness declaration untouched)."""
+        return ConstraintSet(
+            distances=tuple(
+                d
+                for d in self.distances
+                if d.object_id_a not in object_ids and d.object_id_b not in object_ids
+            ),
+            static_object_ids=self.static_object_ids - object_ids,
+            centroid_distances=tuple(
+                c
+                for c in self.centroid_distances
+                if c.object_id_a not in object_ids and c.object_id_b not in object_ids
+            ),
+            point_remaps=self.point_remaps,
+            back_face_thickness_m=self.back_face_thickness_m,
+        )
+
     # ---- compilers ----------------------------------------------------------
     @classmethod
     def from_marker_set(

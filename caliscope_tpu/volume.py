@@ -66,43 +66,61 @@ class CaptureVolume:
         return self._optimization_status
 
     def _compute_img_to_obj_map(self) -> np.ndarray:
-        """Map each image observation to its world point row (-1 unmatched).
-        Static objects collapse to STATIC_SYNC_INDEX."""
+        """Join each image row onto its world-point row by (sync, object,
+        keypoint) key; -1 where the join misses. Observations of static
+        objects use the STATIC_SYNC_INDEX sentinel as their sync key.
+
+        Vectorized: both sides are packed into a single int64 key and matched
+        with a sorted ``searchsorted`` lookup rather than a Python dict.
+        """
+        wp, ip = self.world_points, self.image_points
+        obs_sync = ip.sync_index.astype(np.int64)
         static_ids = self.constraints.static_object_ids if self.constraints else frozenset()
-        wp = self.world_points
-        mapping = {
-            (int(s), int(o), int(k)): i
-            for i, (s, o, k) in enumerate(zip(wp.sync_index, wp.object_id, wp.keypoint_id))
-        }
-        ip = self.image_points
-        sync = ip.sync_index.copy()
         if static_ids:
-            sync[np.isin(ip.object_id, list(static_ids))] = STATIC_SYNC_INDEX
-        out = np.array(
-            [mapping.get((int(s), int(o), int(k)), -1) for s, o, k in zip(sync, ip.object_id, ip.keypoint_id)],
-            dtype=np.int32,
-        )
-        n_unmatched = int(np.sum(out == -1))
-        if n_unmatched:
-            logger.info(f"{n_unmatched} of {len(out)} image observations have no world point")
-        return out
+            obs_sync = np.where(
+                np.isin(ip.object_id, list(static_ids)), np.int64(STATIC_SYNC_INDEX), obs_sync
+            )
+
+        def pack(sync, obj, kp):
+            # 2^21 headroom per field: sync up to ~2M, object/keypoint ids too
+            return ((sync + 2) << 42) | (obj.astype(np.int64) << 21) | kp.astype(np.int64)
+
+        world_keys = pack(wp.sync_index.astype(np.int64), wp.object_id, wp.keypoint_id)
+        obs_keys = pack(obs_sync, ip.object_id, ip.keypoint_id)
+        if len(world_keys) == 0:
+            return np.full(len(obs_keys), -1, dtype=np.int32)
+        order = np.argsort(world_keys, kind="stable")
+        pos = np.searchsorted(world_keys[order], obs_keys)
+        pos_clipped = np.minimum(pos, len(world_keys) - 1)
+        hit = (pos < len(world_keys)) & (world_keys[order][pos_clipped] == obs_keys)
+        joined = np.where(hit, order[pos_clipped], -1).astype(np.int32)
+        n_miss = int((joined < 0).sum())
+        if n_miss:
+            logger.info(
+                f"{n_miss}/{len(joined)} image observations lack a triangulated world point"
+            )
+        return joined
 
     def _validate_geometry(self):
-        n_img, n_world = len(self.image_points), len(self.world_points)
-        n_cams = len(self.camera_array.posed_cameras)
-        if n_img == 0:
-            raise ValueError("No image observations provided")
-        if n_world == 0:
-            raise ValueError("No world points provided")
-        if n_cams == 0:
-            raise ValueError("No posed cameras in array")
-        n_matched = int(np.sum(self.img_to_obj_map >= 0))
-        if n_matched == 0:
-            raise ValueError("No image observations have corresponding world points")
-        if n_matched < n_world * 2:
+        """Reject aggregates that cannot possibly support a solve; warn when
+        the observation count is thin relative to the unknowns."""
+        if len(self.image_points) == 0:
+            raise ValueError("CaptureVolume needs image observations; got an empty set")
+        if len(self.world_points) == 0:
+            raise ValueError("CaptureVolume needs world points; got an empty set")
+        if not self.camera_array.posed_cameras:
+            raise ValueError("CaptureVolume needs at least one posed camera")
+        n_joined = int((self.img_to_obj_map >= 0).sum())
+        if n_joined == 0:
+            raise ValueError(
+                "Not one image observation joins onto a world point — the 2D and 3D "
+                "tables describe disjoint captures"
+            )
+        floor = 2 * len(self.world_points)
+        if n_joined < floor:
             logger.warning(
-                f"Suspicious geometry: {n_matched} matched observations for {n_world} world points. "
-                f"Expected at least {n_world * 2} for multi-view geometry."
+                f"Thin geometry: only {n_joined} joined observations against "
+                f"{len(self.world_points)} world points (multi-view work wants >= {floor})"
             )
 
     # ---- core solver plumbing ----------------------------------------------
@@ -609,124 +627,161 @@ class CaptureVolume:
         return -cam.rotation.T @ cam.translation
 
     def scaled(self, *cues: CameraDistance | SegmentLength | DepthObservation) -> "CaptureVolume":
-        """Uniform metric scale from one or more cues, combined by
-        sigma-weighted least squares, with 2-sigma disagreement warnings
-        (reference capture_volume.py:1064-1161)."""
-        if not cues:
-            raise ValueError("scaled() requires at least one cue; got none.")
-        compiled: list[tuple[float, float, float]] = []
-        skip_reasons: list[str] = []
-        n_depth = 0
-        for cue in cues:
-            if isinstance(cue, DepthObservation):
-                n_depth += 1
-                outcome = self._compile_depth_cue(cue)
-                if isinstance(outcome, str):
-                    skip_reasons.append(outcome)
-                else:
-                    compiled.append(outcome)
-            else:
-                compiled.append(self._compile_cue(cue))
-        if skip_reasons:
-            from collections import Counter
+        """Set the volume's metric scale from one or more measurement cues.
 
-            breakdown = ", ".join(f"{n} {r}" for r, n in sorted(Counter(skip_reasons).items()))
+        Each usable cue contributes a pair (length in current solver units,
+        length in meters) plus a meter-space uncertainty; the global scale is
+        the weighted least-squares solution of ``meters ~= scale *
+        solver_units`` with weights 1/sigma^2. Depth cues that cannot be tied
+        to a unique world point are dropped with a warning; cue pairs whose
+        individually-implied scales sit more than two combined sigmas apart
+        trigger a disagreement warning. Mirrors the semantics of reference
+        capture_volume.py:1064-1161 with a vectorized fusion.
+        """
+        if not cues:
+            raise ValueError("scaled() needs at least one metric cue.")
+        units, meters, sigmas = [], [], []
+        dropped: dict[str, int] = {}
+        n_depth_cues = 0
+        for cue in cues:
+            if isinstance(cue, CameraDistance):
+                evidence = self._measure_camera_gap(cue)
+            elif isinstance(cue, SegmentLength):
+                evidence = self._measure_segment(cue)
+            elif isinstance(cue, DepthObservation):
+                n_depth_cues += 1
+                evidence = self._measure_depth(cue)
+                if isinstance(evidence, str):
+                    dropped[evidence] = dropped.get(evidence, 0) + 1
+                    continue
+            else:
+                raise TypeError(f"Not a scale cue: {type(cue).__name__}")
+            units.append(evidence[0])
+            meters.append(evidence[1])
+            sigmas.append(evidence[2])
+        if dropped:
+            detail = "; ".join(f"{n}x {why}" for why, n in sorted(dropped.items()))
             warnings.warn(
-                f"Skipped {len(skip_reasons)} of {n_depth} depth cues as unresolvable ({breakdown}).", stacklevel=2
+                f"Ignored {sum(dropped.values())} of {n_depth_cues} depth cues ({detail}).",
+                stacklevel=2,
             )
-        if not compiled:
-            raise ValueError(f"All {len(cues)} scale cues were unresolvable; cannot determine scale.")
-        d_arb = np.array([c[0] for c in compiled])
-        d_met = np.array([c[1] for c in compiled])
-        sigma = np.array([c[2] for c in compiled])
-        if len(compiled) == 1:
-            scale = float(d_met[0] / d_arb[0])
-        else:
-            scale = float(np.sum(d_met * d_arb / sigma**2) / np.sum(d_arb**2 / sigma**2))
-            implied = d_met / d_arb
-            sigma_scale = sigma / d_arb
-            for i in range(len(compiled)):
-                for j in range(i + 1, len(compiled)):
-                    combined = float(np.hypot(sigma_scale[i], sigma_scale[j]))
-                    if abs(implied[i] - implied[j]) > 2.0 * combined:
-                        warnings.warn(
-                            f"Scale cues {i} and {j} disagree: implied scales {implied[i]:.6g} vs "
-                            f"{implied[j]:.6g} differ by more than 2 sigma ({2.0 * combined:.6g}).",
-                            stacklevel=2,
-                        )
+        if not units:
+            raise ValueError(
+                f"None of the {len(cues)} scale cues could be measured in this volume."
+            )
+        u, m, sg = np.asarray(units), np.asarray(meters), np.asarray(sigmas)
+        w = 1.0 / np.square(sg)
+        scale = float((w * m * u).sum() / (w * u * u).sum())
+        self._warn_on_scale_disagreement(u, m, sg)
         return self._apply_similarity(SimilarityParams(scale, np.eye(3), np.zeros(3)))
 
-    def _compile_cue(self, cue) -> tuple[float, float, float]:
-        if isinstance(cue, CameraDistance):
-            posed = self.camera_array.posed_cameras
-            for cid in (cue.cam_a, cue.cam_b):
-                if cid not in posed:
-                    raise ValueError(f"CameraDistance references cam_id {cid}, which is not a posed camera.")
-            d_arb = float(np.linalg.norm(self._camera_center(cue.cam_a) - self._camera_center(cue.cam_b)))
-            if d_arb == 0.0:
-                raise ValueError(f"Cameras {cue.cam_a} and {cue.cam_b} coincide; distance cue is degenerate.")
-            return d_arb, float(cue.meters), float(cue.sigma_m)
-        if isinstance(cue, SegmentLength):
-            wp = self.world_points
-            dists = []
-            a_rows = {
-                (int(s), int(o)): i
-                for i, (s, o, k) in enumerate(zip(wp.sync_index, wp.object_id, wp.keypoint_id))
-                if int(k) == cue.keypoint_id_a
-            }
-            for i, (s, o, k) in enumerate(zip(wp.sync_index, wp.object_id, wp.keypoint_id)):
-                if int(k) == cue.keypoint_id_b and (int(s), int(o)) in a_rows:
-                    dists.append(float(np.linalg.norm(wp.xyz[a_rows[(int(s), int(o))]] - wp.xyz[i])))
-            if not dists:
-                raise ValueError(
-                    f"SegmentLength found no frame where both keypoints "
-                    f"{cue.keypoint_id_a} and {cue.keypoint_id_b} are triangulated."
-                )
-            return float(np.median(dists)), float(cue.meters), float(cue.sigma_m)
-        raise TypeError(f"Unknown scale cue type: {type(cue).__name__}")
+    @staticmethod
+    def _warn_on_scale_disagreement(u: np.ndarray, m: np.ndarray, sg: np.ndarray) -> None:
+        """Pairwise consistency check on the per-cue implied scales."""
+        if len(u) < 2:
+            return
+        implied = m / u
+        implied_sigma = sg / u
+        ii, jj = np.triu_indices(len(u), k=1)
+        tolerance = 2.0 * np.hypot(implied_sigma[ii], implied_sigma[jj])
+        conflicting = np.abs(implied[ii] - implied[jj]) > tolerance
+        for i, j, tol in zip(ii[conflicting], jj[conflicting], tolerance[conflicting]):
+            warnings.warn(
+                f"Scale cues {i} and {j} disagree: they imply {implied[i]:.6g} vs "
+                f"{implied[j]:.6g}, a gap beyond the combined 2-sigma tolerance "
+                f"of {tol:.6g}.",
+                stacklevel=3,
+            )
 
-    def _compile_depth_cue(self, cue: DepthObservation):
+    def _measure_camera_gap(self, cue: CameraDistance) -> tuple[float, float, float]:
+        posed = self.camera_array.posed_cameras
+        unposed = [cid for cid in (cue.cam_a, cue.cam_b) if cid not in posed]
+        if unposed:
+            raise ValueError(
+                f"CameraDistance cue needs posed cameras, but {unposed} have no pose."
+            )
+        gap = float(
+            np.linalg.norm(self._camera_center(cue.cam_a) - self._camera_center(cue.cam_b))
+        )
+        if gap == 0.0:
+            raise ValueError(
+                f"Cameras {cue.cam_a} and {cue.cam_b} share a center; the distance "
+                f"cue carries no scale information."
+            )
+        return gap, float(cue.meters), float(cue.sigma_m)
+
+    def _measure_segment(self, cue: SegmentLength) -> tuple[float, float, float]:
+        """Median triangulated length of the (kp_a, kp_b) segment over every
+        (sync, object) group where both endpoints exist."""
+        wp = self.world_points
+        is_a = wp.keypoint_id == cue.keypoint_id_a
+        is_b = wp.keypoint_id == cue.keypoint_id_b
+        group = np.stack([wp.sync_index, wp.object_id], axis=1)
+        _, group_id = np.unique(group, axis=0, return_inverse=True)
+        n_groups = int(group_id.max()) + 1 if len(group_id) else 0
+        a_row = np.full(n_groups, -1)
+        b_row = np.full(n_groups, -1)
+        a_row[group_id[is_a]] = np.where(is_a)[0]
+        b_row[group_id[is_b]] = np.where(is_b)[0]
+        both = (a_row >= 0) & (b_row >= 0)
+        if not both.any():
+            raise ValueError(
+                f"SegmentLength cue: keypoints {cue.keypoint_id_a} and "
+                f"{cue.keypoint_id_b} are never triangulated together in any frame."
+            )
+        lengths = np.linalg.norm(wp.xyz[a_row[both]] - wp.xyz[b_row[both]], axis=1)
+        return float(np.median(lengths)), float(cue.meters), float(cue.sigma_m)
+
+    def _measure_depth(self, cue: DepthObservation) -> tuple[float, float, float] | str:
+        """Evidence triple, or a human-readable reason the cue is unusable."""
         cam = self.camera_array.cameras.get(cue.cam_id)
         if cam is None or cam.rotation is None or cam.translation is None:
-            return "unposed camera"
+            return "camera has no pose"
         wp = self.world_points
-        rows = np.where((wp.sync_index == cue.sync_index) & (wp.keypoint_id == cue.keypoint_id))[0]
+        rows = np.flatnonzero(
+            (wp.sync_index == cue.sync_index) & (wp.keypoint_id == cue.keypoint_id)
+        )
         if len(rows) == 0:
-            return "no world point"
+            return "keypoint not triangulated at that sync index"
         if len(rows) > 1:
-            return "ambiguous match"
-        p = wp.xyz[rows[0]]
-        d_arb = float((cam.rotation @ p + cam.translation)[2])
-        if d_arb <= 0.0:
-            return "non-positive depth"
-        return d_arb, float(cue.depth_m), float(cue.sigma_m)
+            return "keypoint matches several world points"
+        z_cam = float((cam.rotation @ wp.xyz[rows[0]] + cam.translation)[2])
+        if z_cam <= 0.0:
+            return "point sits behind the camera"
+        return z_cam, float(cue.depth_m), float(cue.sigma_m)
 
     def oriented(self, up: dict[int, np.ndarray]) -> "CaptureVolume":
         """Rotate so the consensus per-camera vertical becomes +Z; yaw fixed
         by the anchor camera's optical axis -> +Y."""
         if not up:
-            raise ValueError("oriented() requires at least one up vector.")
-        world_ups = []
-        for cid, up_cam in up.items():
+            raise ValueError("oriented() needs an up vector for at least one camera.")
+        cam_ids = list(up.keys())
+        for cid in cam_ids:
             cam = self.camera_array.cameras.get(cid)
             if cam is None or cam.rotation is None:
-                raise ValueError(f"oriented() references cam_id {cid}, which is not a posed camera.")
-            world_ups.append(cam.rotation.T @ np.asarray(up_cam, float))
-        consensus = np.mean(np.stack(world_ups), axis=0)
-        norm = float(np.linalg.norm(consensus))
-        if norm < 1e-9:
-            raise ValueError("Consensus up vector is degenerate (per-camera verticals cancel).")
-        consensus_up = consensus / norm
-        unit_ups = [w / np.linalg.norm(w) for w in world_ups]
-        per_cam = ", ".join(
-            f"cam {cid}: {np.degrees(np.arccos(np.clip(np.dot(u, consensus_up), -1, 1))):.2f}"
-            for cid, u in zip(up.keys(), unit_ups)
+                raise ValueError(f"oriented(): camera {cid} has no pose to rotate an up vector through.")
+        # rows: each camera's claimed vertical, expressed in world coordinates
+        verticals = np.stack(
+            [
+                self.camera_array.cameras[cid].rotation.T @ np.asarray(v, float)
+                for cid, v in up.items()
+            ]
         )
-        logger.info(f"Vertical agreement (deg from consensus): {per_cam}")
+        pooled = verticals.mean(axis=0)
+        pooled_len = float(np.linalg.norm(pooled))
+        if pooled_len < 1e-9:
+            raise ValueError("The per-camera verticals cancel out; no usable consensus up direction.")
+        up_world = pooled / pooled_len
+        unit = verticals / np.linalg.norm(verticals, axis=1, keepdims=True)
+        spread_deg = np.degrees(np.arccos(np.clip(unit @ up_world, -1.0, 1.0)))
+        logger.info(
+            "Per-camera deviation from the pooled vertical (deg): %s",
+            {cid: round(float(d), 2) for cid, d in zip(cam_ids, spread_deg)},
+        )
         anchor = self.camera_array.cameras[self._anchor_cam_id()]
-        forward = anchor.rotation.T @ np.array([0.0, 0.0, 1.0])
-        R = world_basis_from_up_and_forward(consensus_up, forward)
-        return self._apply_similarity(SimilarityParams(1.0, R, np.zeros(3)))
+        gaze = anchor.rotation.T @ np.array([0.0, 0.0, 1.0])
+        basis = world_basis_from_up_and_forward(up_world, gaze)
+        return self._apply_similarity(SimilarityParams(1.0, basis, np.zeros(3)))
 
     def grounded(
         self, mode: Literal["lowest_point"] = "lowest_point", *, lowest_point_height_m: float = 0.0
@@ -741,9 +796,10 @@ class CaptureVolume:
 
     def centered(self) -> "CaptureVolume":
         """XY origin at the centroid of posed camera centers; Z untouched."""
-        centers = np.array([self._camera_center(cid) for cid in self.camera_array.posed_cameras])
-        cxy = centers[:, :2].mean(axis=0)
-        return self.translate(x=-cxy[0], y=-cxy[1])
+        rig_xy = np.stack(
+            [self._camera_center(cid)[:2] for cid in self.camera_array.posed_cameras]
+        ).mean(axis=0)
+        return self.translate(x=-rig_xy[0], y=-rig_xy[1])
 
 
 def _repair_bootstrap_outlier_cameras(
