@@ -1,30 +1,38 @@
-"""Benchmark: bundle-adjustment iteration throughput vs the reference engine.
+"""Benchmarks: one JSON line per metric, headline (BA iter/s) printed LAST.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metrics (the two BASELINE.json north stars + the scaling target):
+  1. detect_frames_per_sec_720p   — batched ChArUco detection (threshold →
+     CCL → quads → dictionary decode → X-corner snap) on the default JAX
+     device vs cv2.aruco.CharucoDetector on CPU, same frames.
+  2. ba_scaling_efficiency_1to8dev — full sharded lm_solve iter/s measured at
+     1/2/4/8 devices of the virtual CPU mesh; value = ips_8/(8*ips_1) in %,
+     vs_baseline against the >=80% target.
+  3. ba_lm_iterations_per_sec_141k_obs (headline) — full jitted LM solve at
+     the canonical real-session scale (141,422 obs, 8 cams, 35k points) vs a
+     reference-engine per-iteration equivalent (cv2.projectPoints + scipy
+     sparse assembly, /root/reference/src/caliscope/core/reprojection.py:75-233).
 
-Workload: the canonical real-session scale (BASELINE.md — 141,422 observations,
-the `larger_calibration_post_monocal` session) synthesized as an 8-camera rig
-with ~35k world points, solved per LM iteration:
-  - ours:     one full jitted LM iteration (residual + jacfwd blocks + IRLS +
-              block-Jacobi PCG normal solve + damping update) on the default
-              JAX device (the TPU chip when present).
-  - baseline: one reference-engine iteration equivalent measured on CPU —
-              per-camera cv2.projectPoints with analytic Jacobian + scipy
-              sparse COO->CSR assembly, exactly the per-iteration work
-              scipy.optimize.least_squares(trf) drives in the reference
-              (/root/reference/src/caliscope/core/reprojection.py:75-233).
+`python bench.py --profile` instead records where one LM iteration's time
+goes (assembly vs reductions vs the linear solve) — see PROFILE.md.
 
-vs_baseline = ours_iters_per_sec / baseline_iters_per_sec (higher is better).
+vs_baseline = ours / baseline (higher is better) for throughput metrics.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
-import numpy as np
-
 import os
+
+# The scaling benchmark needs a multi-device CPU backend alongside whatever
+# the default platform is; must be configured before jax first import.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
 
 N_CAMERAS = int(os.environ.get("CALISCOPE_BENCH_CAMS", 8))
 N_POINTS = int(os.environ.get("CALISCOPE_BENCH_PTS", 35_000))
@@ -181,26 +189,227 @@ def bench_reference_equivalent(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv, it
 PINNED_REFERENCE_S = 0.205
 
 
+# ---------------------------------------------------------------------------
+# Detection benchmark (north-star metric #2)
+# ---------------------------------------------------------------------------
+
+DETECT_BATCH = int(os.environ.get("CALISCOPE_BENCH_DETECT_BATCH", 16))
+DETECT_WH = (1280, 720)
+
+
+def _detect_frames():
+    """B warped views of a 5x7 charuco board at 720p (uint8 gray). cv2 is
+    used only to synthesize the shared input frames."""
+    import cv2
+
+    from caliscope_tpu.targets.charuco import Charuco
+
+    ch = Charuco(rows=5, columns=7, square_size_m=0.054)
+    board = ch.board_image(px_per_square=100, margin_squares=0.5)
+    w, h = DETECT_WH
+    rng = np.random.default_rng(3)
+    src = np.array([[0, 0], [board.shape[1], 0], [board.shape[1], board.shape[0]], [0, board.shape[0]]], np.float32)
+    frames = np.empty((DETECT_BATCH, h, w), np.uint8)
+    for b in range(DETECT_BATCH):
+        jitter = rng.uniform(-40, 40, size=(4, 2)).astype(np.float32)
+        dst = np.array([[200, 90], [1080, 120], [1040, 620], [240, 600]], np.float32) + jitter
+        H = cv2.getPerspectiveTransform(src, dst)
+        frames[b] = cv2.warpPerspective(board, H, (w, h), borderValue=255, flags=cv2.INTER_LINEAR)
+    return ch, frames
+
+
+def bench_detect():
+    """Ours: one batched device pipeline over the stack (per-frame time =
+    stack time / B, end-to-end incl. host assembly + readback). Baseline:
+    cv2.aruco.CharucoDetector.detectBoard per frame on CPU."""
+    import cv2
+
+    from caliscope_tpu.trackers.charuco_tracker import CharucoTracker
+
+    ch, frames = _detect_frames()
+    tracker = CharucoTracker(ch)
+    _log("detect: warmup (compiles the batched pipeline)")
+    warm = tracker.get_points_batch(frames)
+    n_found = sum(len(p) for p in warm)
+    assert n_found >= DETECT_BATCH * ch.n_corners * 0.9, f"detection found only {n_found} corners"
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tracker.get_points_batch(frames)
+        best = min(best, time.perf_counter() - t0)
+    ours_fps = DETECT_BATCH / best
+    _log(f"detect ours: {ours_fps:.1f} frames/s")
+
+    cvd = cv2.aruco.getPredefinedDictionary(getattr(cv2.aruco, ch.dictionary))
+    cv_board = cv2.aruco.CharucoBoard((ch.columns, ch.rows), ch.square_size_m, ch.square_size_m * ch.aruco_scale, cvd)
+    det = cv2.aruco.CharucoDetector(cv_board)
+    best_cv = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for b in range(DETECT_BATCH):
+            det.detectBoard(frames[b])
+        best_cv = min(best_cv, time.perf_counter() - t0)
+    cv_fps = DETECT_BATCH / best_cv
+    _log(f"detect cv2: {cv_fps:.1f} frames/s")
+    return ours_fps, cv_fps
+
+
+# ---------------------------------------------------------------------------
+# Scaling benchmark (the >=80% 1->N target, measured on the virtual CPU mesh)
+# ---------------------------------------------------------------------------
+
+SCALING_ITERS = int(os.environ.get("CALISCOPE_BENCH_SCALING_ITERS", 5))
+
+
+def bench_scaling(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
+    """Full sharded lm_solve over 1/2/4/8 CPU devices at the canonical scale.
+
+    CPU, not the (single) TPU chip: scaling needs multiple devices, and the
+    virtual host mesh exercises the identical GSPMD program that a pod slice
+    would run. Returns {n_devices: iter/s}."""
+    import jax
+
+    from caliscope_tpu.parallel.sharded import make_obs_mesh
+    from caliscope_tpu.solvers.bundle import BAConfig, lm_solve, make_problem
+
+    cpu_devices = jax.devices("cpu")
+    problem = make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool))
+    cam9 = np.concatenate([rvecs, tvecs, np.ones((N_CAMERAS, 1)), dist[:, :2]], axis=1)
+    config = BAConfig(max_iter=SCALING_ITERS, ftol=0.0, gtol=0.0, solver="schur", cg_max_iter=30)
+    out = {}
+    for k in (1, 2, 4, 8):
+        if k > len(cpu_devices):
+            break
+        mesh = make_obs_mesh(cpu_devices[:k])
+        _log(f"scaling: {k} devices, warmup")
+        lm_solve(problem, cam9, X, config, mesh=mesh)
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = lm_solve(problem, cam9, X, config, mesh=mesh)
+            best = min(best, time.perf_counter() - t0)
+        assert res.n_iterations == SCALING_ITERS and res.n_devices == k
+        out[k] = SCALING_ITERS / best
+        _log(f"scaling: {k} devices -> {out[k]:.2f} iter/s")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Profile mode (--profile): where does one LM iteration go?
+# ---------------------------------------------------------------------------
+
+
+def profile_iteration(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
+    """Chained-timing breakdown of the LM iteration's stages on the default
+    device. Each stage runs CHAIN reps inside ONE jit with a data dependency
+    between reps (defeats loop hoisting; see PROFILE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from caliscope_tpu.solvers import bundle as B
+
+    problem = B.make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool))
+    cam9 = jnp.asarray(np.concatenate([rvecs, tvecs, np.ones((N_CAMERAS, 1)), dist[:, :2]], axis=1),
+                       np.asarray(problem.uv).dtype)
+    Xd = jnp.asarray(X, cam9.dtype)
+    lam = jnp.asarray(1e-4, cam9.dtype)
+    n_points = X.shape[0]
+    CHAIN = 10
+
+    def chain(fn):
+        """fn: seed_scalar -> scalar. Returns best-of-3 seconds per rep."""
+        @jax.jit
+        def reps(seed):
+            def body(i, s):
+                # s feeds the stage input (defeats loop hoisting) and the
+                # stage output feeds s (defeats dead-code elimination)
+                return s + fn(s * 1e-30 + 1.0) * 1e-30
+            return jax.lax.fori_loop(0, CHAIN, body, seed)
+
+        float(reps(jnp.asarray(0.0, cam9.dtype)))  # compile
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(reps(jnp.asarray(0.0, cam9.dtype)))
+            best = min(best, time.perf_counter() - t0)
+        return best / CHAIN
+
+    def stage_blocks(eps):
+        r, w, Jc, Jp, rq, qidx, Jq, cost = B._masked_blocks(problem, cam9 * eps, Xd, "linear", 1.0)
+        return cost + jnp.sum(r) + jnp.sum(Jc) * 1e-30
+
+    def stage_grad(eps):
+        r, w, Jc, Jp, rq, qidx, Jq, _ = B._masked_blocks(problem, cam9 * eps, Xd, "linear", 1.0)
+        g_c, g_p, d_c, d_p = B._gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points)
+        return jnp.sum(g_c) + jnp.sum(g_p) + jnp.sum(d_c) * 1e-30 + jnp.sum(d_p) * 1e-30
+
+    def make_solver_stage(kind):
+        def stage(eps):
+            r, w, Jc, Jp, rq, qidx, Jq, _ = B._masked_blocks(problem, cam9 * eps, Xd, "linear", 1.0)
+            g_c, g_p, d_c, d_p = B._gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points)
+            if kind == "schur":
+                dxc, dxp = B._solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, 1e-6, 30)
+            else:
+                dxc, dxp = B._solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, 1e-6, 30)
+            return jnp.sum(dxc) + jnp.sum(dxp)
+        return stage
+
+    def stage_cost(eps):
+        return B._cost_only(problem, cam9 * eps, Xd, "linear", 1.0)
+
+    rows = [
+        ("residual+jacobian blocks", chain(stage_blocks)),
+        ("  + gradient/diag reductions", chain(stage_grad)),
+        ("  + schur solve", chain(make_solver_stage("schur"))),
+        ("  + cg solve (instead)", chain(make_solver_stage("cg"))),
+        ("cost-only eval (step accept)", chain(stage_cost)),
+    ]
+    print(f"# LM iteration profile @ {N_OBS} obs / {N_POINTS} pts / {N_CAMERAS} cams (cumulative stages)")
+    for name, secs in rows:
+        print(f"{name:34s} {secs * 1e3:9.2f} ms/rep")
+    return rows
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit,
+                      "vs_baseline": round(vs_baseline, 3)}), flush=True)
+
+
 def main():
-    _log("synthesizing problem")
-    data = _synth_problem()
-    _log("benching ours")
-    ours_s, cost = bench_ours(*data)
-    _log(f"ours {ours_s:.3f}s/iter; benching reference proxy")
-    ref_s = min(bench_reference_equivalent(*data), PINNED_REFERENCE_S)
-    _log(f"reference proxy {ref_s:.3f}s/iter (pinned idle-host floor {PINNED_REFERENCE_S})")
-    ours_ips = 1.0 / ours_s
-    ref_ips = 1.0 / ref_s
-    print(
-        json.dumps(
-            {
-                "metric": "ba_lm_iterations_per_sec_141k_obs",
-                "value": round(ours_ips, 3),
-                "unit": "iter/s",
-                "vs_baseline": round(ours_ips / ref_ips, 3),
-            }
-        )
-    )
+    only = os.environ.get("CALISCOPE_BENCH_ONLY", "").split(",") if os.environ.get("CALISCOPE_BENCH_ONLY") else None
+
+    def want(name):
+        return only is None or name in only
+
+    if "--profile" in sys.argv:
+        data = _synth_problem()
+        profile_iteration(*data)
+        return
+
+    if want("detect"):
+        _log("detection benchmark")
+        ours_fps, cv_fps = bench_detect()
+        _emit("detect_frames_per_sec_720p", ours_fps, "frames/s", ours_fps / cv_fps)
+
+    data = None
+    if want("scaling"):
+        data = _synth_problem()
+        _log("scaling benchmark (virtual CPU mesh)")
+        ips = bench_scaling(*data)
+        if 8 in ips and 1 in ips:
+            eff_pct = 100.0 * ips[8] / (8.0 * ips[1])
+            _emit("ba_scaling_efficiency_1to8dev", eff_pct, "%", eff_pct / 80.0)
+
+    if want("ba"):
+        if data is None:
+            _log("synthesizing problem")
+            data = _synth_problem()
+        _log("benching ours")
+        ours_s, cost = bench_ours(*data)
+        _log(f"ours {ours_s:.3f}s/iter; benching reference proxy")
+        ref_s = min(bench_reference_equivalent(*data), PINNED_REFERENCE_S)
+        _log(f"reference proxy {ref_s:.3f}s/iter (pinned idle-host floor {PINNED_REFERENCE_S})")
+        _emit("ba_lm_iterations_per_sec_141k_obs", 1.0 / ours_s, "iter/s", ref_s / ours_s)
 
 
 if __name__ == "__main__":

@@ -76,6 +76,13 @@ class BAConfig:
     # serving of one problem shape; leave False for interactive pipelines
     # that solve many small problems.
     bake_problem: bool = False
+    # Observation-axis data parallelism over jax.devices():
+    #   'auto'   — shard when >1 device is visible AND the problem is big
+    #              enough that per-device work dominates the collective cost
+    #   'never'  — always single-placement
+    #   'always' — shard over all devices regardless of size (tests/dryrun)
+    shard: str = "auto"
+    shard_min_obs: int = 20_000
 
 
 @dataclass
@@ -570,6 +577,7 @@ class BAResult:
     n_iterations: int
     converged: bool
     gradient_norm: float
+    n_devices: int = 1  # devices the observation axis was sharded over
 
 
 def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, solver_kind, cg_tol, cg_max_iter, init_lambda):
@@ -650,7 +658,23 @@ _lm_run = partial(
 )(_lm_run_impl)
 
 
-def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> BAResult:
+def _resolve_mesh(problem: BAProblem, config: BAConfig, mesh):
+    """Decide the device mesh for this solve (None = single placement)."""
+    if mesh is not None:
+        return mesh
+    if config.shard == "never":
+        return None
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    if config.shard == "always" or problem.n_obs >= config.shard_min_obs:
+        from caliscope_tpu.parallel.sharded import make_obs_mesh
+
+        return make_obs_mesh(devices)
+    return None
+
+
+def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh=None) -> BAResult:
     """Run Levenberg-Marquardt bundle adjustment.
 
     Args:
@@ -658,6 +682,11 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
         cam9_0:  (C,9) initial camera blocks [rvec, tvec, s, k1, k2].
         X0:      (P,3) initial world points.
         config:  BAConfig.
+        mesh:    optional jax.sharding.Mesh to shard the observation axis
+                 over; by default one is built per config.shard policy when
+                 multiple devices are visible. The whole while-loop then runs
+                 as one SPMD program — XLA lowers the J^T W J / J^T W r
+                 segment reductions to all-reduces over the mesh.
 
     Returns BAResult with optimized parameters (host numpy).
     """
@@ -665,8 +694,20 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
     C = problem.n_cameras
     P = int(np.asarray(X0).shape[0])
     dim = N_CAM_PARAMS * C + 3 * P
+
+    mesh = _resolve_mesh(problem, config, mesh)
+    if mesh is not None:
+        from caliscope_tpu.parallel.sharded import shard_problem
+
+        problem = shard_problem(problem, mesh)
+
     if config.solver != "auto":
         solver_kind = config.solver
+    elif mesh is not None:
+        # Sharded: the dense path scatters into one (dim, dim) matrix, which
+        # replicates poorly; Schur keeps per-observation work on the sharded
+        # axis and reduces only (C,9,...) quantities.
+        solver_kind = "schur"
     elif dim <= config.dense_cutoff:
         solver_kind = "dense"
     else:
@@ -682,9 +723,20 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
     ub[:, 6:] = INTRINSIC_UPPER
 
     np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
-    cam9_d, X_d, lb_d, ub_d = jax.device_put(
-        (np.asarray(cam9_0, np_dtype), np.asarray(X0, np_dtype), lb.astype(np_dtype), ub.astype(np_dtype))
+    param_host = (
+        np.asarray(cam9_0, np_dtype),
+        np.asarray(X0, np_dtype),
+        lb.astype(np_dtype),
+        ub.astype(np_dtype),
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        cam9_d, X_d, lb_d, ub_d = jax.device_put(
+            param_host, NamedSharding(mesh, PartitionSpec())
+        )
+    else:
+        cam9_d, X_d, lb_d, ub_d = jax.device_put(param_host)
     opts = dict(
         loss=config.loss,
         f_scale=float(config.f_scale),
@@ -720,6 +772,7 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig()) -> B
         n_iterations=int(it),
         converged=bool(done),
         gradient_norm=float(gnorm),
+        n_devices=int(mesh.size) if mesh is not None else 1,
     )
 
 

@@ -72,9 +72,15 @@ class CharucoTracker(Tracker):
         return self.charuco.chessboard_corners()[:, :2]
 
     # ---- detection ----------------------------------------------------------
-    def _detect_face(self, gray: np.ndarray):
-        """Detect on one orientation. Returns (keypoint_ids, img_xy) or None."""
-        dets = detect_markers(gray[None], self.charuco.dictionary)[0]
+    def _detect_face(self, gray: np.ndarray, dets=None, cand=None):
+        """Detect on one orientation. Returns (keypoint_ids, img_xy) or None.
+
+        dets/cand: optionally precomputed device outputs (marker detections
+        and X-corner candidates) — the batched path runs the two device
+        programs once over a whole frame stack and assembles per frame here.
+        """
+        if dets is None:
+            dets = detect_markers(gray[None], self.charuco.dictionary)[0]
         if len(dets) < MIN_MARKERS_FOR_BOARD:
             return None
         src, dst = [], []
@@ -138,9 +144,10 @@ class CharucoTracker(Tracker):
 
         inner = self._board_inner_corners_2d()
 
-        # detected X-corners (device program)
-        xy, _score, valid = detect_x_corners_device(gray[None].astype(np.float32), k_max=X_CORNER_KMAX)
-        cand = np.asarray(xy)[0][np.asarray(valid)[0]]
+        if cand is None:
+            # detected X-corners (device program)
+            xy, _score, valid = detect_x_corners_device(gray[None].astype(np.float32), k_max=X_CORNER_KMAX)
+            cand = np.asarray(xy)[0][np.asarray(valid)[0]]
         if len(cand) == 0:
             return None
 
@@ -288,11 +295,16 @@ class CharucoTracker(Tracker):
 
         if best is None:
             return PointPacket.empty()
+        self._mirror_hint[cam_id] = best[1]
+        return self._packet_from(best, gray.shape[1])
+
+    def _packet_from(self, best, width: int) -> PointPacket:
+        """Finalize a winning face into a PointPacket (un-mirror x, split
+        two-sided identity)."""
         _score, mirrored, kps, img_xy = best
         if mirrored:
             img_xy = img_xy.copy()
-            img_xy[:, 0] = gray.shape[1] - 1 - img_xy[:, 0]
-        self._mirror_hint[cam_id] = mirrored
+            img_xy[:, 0] = width - 1 - img_xy[:, 0]
         # Identity split only for a board with real substrate thickness: the
         # back face is object 1 with the SAME keypoint ids at z=+thickness.
         # At zero thickness a mirrored view IS the front face seen from
@@ -307,6 +319,59 @@ class CharucoTracker(Tracker):
             img_loc=img_xy,
             obj_loc=obj_loc,
         )
+
+    def get_points_batch(self, frames: np.ndarray, cam_id: int = 0, rotation_count: int = 0) -> list[PointPacket]:
+        """Device-batched detection over a (B, H, W[, 3]) frame stack.
+
+        The two device programs (marker pipeline, X-corner pipeline) each run
+        ONCE over the whole stack — on a TPU this is where the throughput is;
+        per-frame dispatch would pay the device round trip B times. Host-side
+        assembly (homography consensus, corner snap, gates) runs per frame on
+        the precomputed outputs. Frames that fail the first orientation are
+        retried as a second, smaller stack in the flipped orientation, and
+        the better-scoring face wins — same semantics as get_points.
+        """
+        frames = np.asarray(frames)
+        if frames.ndim == 4:
+            frames = frames.mean(axis=3)
+        grays = 255.0 - frames.astype(np.float32) if self.charuco.inverted else frames
+        B = grays.shape[0]
+        orders = [False, True] if not self._mirror_hint.get(cam_id, False) else [True, False]
+        best: dict[int, tuple] = {}
+        pending = list(range(B))
+        for mirrored in orders:
+            if not pending:
+                break
+            stack = grays[pending]
+            if mirrored:
+                stack = stack[:, :, ::-1]
+            stack = np.ascontiguousarray(stack)
+            dets_list = detect_markers(stack, self.charuco.dictionary)
+            xy, _s, valid = detect_x_corners_device(stack.astype(np.float32), k_max=X_CORNER_KMAX)
+            xy, valid = np.asarray(xy), np.asarray(valid)
+            still = []
+            for j, b in enumerate(pending):
+                result = self._detect_face(stack[j], dets=dets_list[j], cand=xy[j][valid[j]])
+                accepted = False
+                if result is not None:
+                    kps, img_xy, n_markers = result
+                    score = (n_markers, len(kps))
+                    if b not in best or score > best[b][0]:
+                        best[b] = (score, mirrored, kps, img_xy)
+                    accepted = n_markers >= 3 and len(kps) >= 0.6 * self.charuco.n_corners
+                if not accepted:
+                    still.append(b)
+            pending = still
+        packets = []
+        for b in range(B):
+            if b in best:
+                packets.append(self._packet_from(best[b], grays.shape[2]))
+            else:
+                packets.append(PointPacket.empty())
+        if best:
+            n_mirrored = sum(1 for v in best.values() if v[1])
+            self._mirror_hint[cam_id] = n_mirrored * 2 > len(best)
+        return packets
 
     # ---- metadata -----------------------------------------------------------
     def get_point_name(self, keypoint_id: int) -> str:

@@ -307,11 +307,18 @@ class CaptureVolume:
         loss: str = "linear",
         f_scale: float = 1.0,
         solver: str = "auto",
+        shard: str = "auto",
     ) -> "CaptureVolume":
         """Bundle adjustment. Extrinsics-only by default; refine_intrinsics
         adds the [s, k1, k2] block per camera. Matches the reference's
         optimize() contract (loss/f_scale/constraints/bounds) but runs the
-        TPU-native LM (solvers/bundle.py)."""
+        TPU-native LM (solvers/bundle.py).
+
+        shard: 'auto' (default) distributes the observation axis over every
+        visible device when the problem is large enough to amortize the
+        collectives; 'always'/'never' force it. The solve itself is the same
+        jitted while-loop either way — sharding only changes array placement.
+        """
         from caliscope_tpu.solvers.bundle import (
             BAConfig,
             bound_warnings,
@@ -349,9 +356,14 @@ class CaptureVolume:
             max_iter=max_nfev if max_nfev is not None else 200,
             ftol=ftol,
             solver=solver,
+            shard=shard,
         )
         logger.info(f"Beginning bundle adjustment on {len(uv)} observations")
         result = lm_solve(problem, cam9_0, self.world_points.xyz, config)
+        if result.n_devices > 1:
+            logger.info(
+                f"Bundle adjustment ran observation-sharded over {result.n_devices} devices"
+            )
 
         termination = "converged_ftol" if result.converged else "max_iterations"
         if strict and not result.converged:

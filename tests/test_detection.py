@@ -177,6 +177,38 @@ class TestCharucoTracker:
         assert 0 < len(pkt) < ch.n_corners
 
 
+class TestCharucoBatch:
+    def test_batch_matches_per_frame(self):
+        ch = Charuco(rows=5, columns=7, square_size_m=0.054)
+        t = TestCharucoTracker()
+        img0, _ = t._render_board(ch)
+        f1, _ = _warp(img0, [[80.3, 60.2], [560.7, 90.8], [530.5, 420.9], [100.1, 400.4]])
+        f2, _ = _warp(img0, [[120.1, 50.6], [590.2, 70.3], [560.4, 430.2], [90.7, 410.8]])
+        f3 = np.full_like(f1, 128)  # no board at all
+        stack = np.stack([f1, f2, f3])
+        tracker = CharucoTracker(ch)
+        batched = tracker.get_points_batch(stack)
+        assert len(batched) == 3
+        singles = [CharucoTracker(ch).get_points(f) for f in (f1, f2, f3)]
+        for pb, ps in zip(batched, singles):
+            assert len(pb) == len(ps)
+            np.testing.assert_array_equal(pb.keypoint_id, ps.keypoint_id)
+            np.testing.assert_allclose(pb.img_loc, ps.img_loc, atol=1e-9)
+
+    def test_batch_mirrored_frames(self):
+        ch = Charuco(rows=5, columns=7, square_size_m=0.054, thickness_m=0.004)
+        t = TestCharucoTracker()
+        img0, _ = t._render_board(ch)
+        back0 = np.ascontiguousarray(img0[:, ::-1])
+        f_front, _ = _warp(img0, [[80.3, 60.2], [560.7, 90.8], [530.5, 420.9], [100.1, 400.4]])
+        f_back, _ = _warp(back0, [[80.3, 60.2], [560.7, 90.8], [530.5, 420.9], [100.1, 400.4]])
+        tracker = CharucoTracker(ch)
+        packets = tracker.get_points_batch(np.stack([f_front, f_back]), cam_id=2)
+        assert (packets[0].object_id == 0).all()
+        assert (packets[1].object_id == 1).all()
+        np.testing.assert_allclose(packets[1].obj_loc[:, 2], ch.thickness_m)
+
+
 class TestChessboardTracker:
     def test_full_grid_all_or_nothing(self):
         rows, cols, sq = 6, 8, 60

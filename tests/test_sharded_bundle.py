@@ -72,6 +72,40 @@ def test_full_solve_on_sharded_problem(problem_setup):
     assert res_sh.cost_final == pytest.approx(res_ref.cost_final, rel=1e-8)
 
 
+def test_lm_solve_auto_shards_by_policy(problem_setup):
+    """config.shard drives mesh construction inside lm_solve itself."""
+    problem, cam9, X0 = problem_setup
+    res_never = lm_solve(problem, cam9, X0, BAConfig(max_iter=15, shard="never"))
+    assert res_never.n_devices == 1
+    res_always = lm_solve(problem, cam9, X0, BAConfig(max_iter=15, shard="always"))
+    assert res_always.n_devices == 8
+    assert res_always.cost_final == pytest.approx(res_never.cost_final, rel=1e-6)
+    # 'auto' on a small problem stays single-placement; lowering the
+    # threshold flips it on
+    assert lm_solve(problem, cam9, X0, BAConfig(max_iter=2, shard="auto")).n_devices == 1
+    res_auto = lm_solve(
+        problem, cam9, X0, BAConfig(max_iter=2, shard="auto", shard_min_obs=1)
+    )
+    assert res_auto.n_devices == 8
+
+
+def test_capture_volume_optimize_sharded_is_production_path(problem_setup):
+    """CaptureVolume.optimize(shard='always') runs the full production BA
+    sharded over the 8-device mesh and reaches the single-placement optimum."""
+    from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
+    from caliscope_tpu.volume import CaptureVolume
+
+    scene = default_ring_scene(noise_sigma_px=0.5, n_frames=8)
+    ip = scene.image_points_noisy()
+    vol = CaptureVolume.bootstrap(ip, strip_extrinsics(scene.cameras))
+    single = vol.optimize(shard="never")
+    sharded = vol.optimize(shard="always")
+    r_single = single.reprojection_report.overall_rmse
+    r_sharded = sharded.reprojection_report.overall_rmse
+    assert r_sharded == pytest.approx(r_single, rel=1e-6)
+    assert r_sharded < vol.reprojection_report.overall_rmse
+
+
 def test_sharded_program_contracts_obs_axis_with_collectives(problem_setup):
     """The compiled SPMD iteration must reduce the sharded observation axis
     with all-reduce collectives (the ICI-riding psums of the design in
