@@ -32,6 +32,11 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent compilation cache: first-compile of the fused detection program
+# through the remote-compile TPU path runs minutes; cached runs skip it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/caliscope_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 import numpy as np
 
 N_CAMERAS = int(os.environ.get("CALISCOPE_BENCH_CAMS", 8))

@@ -24,6 +24,7 @@ from caliscope_tpu.detect.kernels import (
     component_candidates,
     connected_components,
     extract_patches,
+    integral_image,
     quad_corners_from_mask,
     refine_quad_edges,
     sample_marker_bits,
@@ -42,17 +43,28 @@ class MarkerDetections:
         return len(self.ids)
 
 
-@partial(jax.jit, static_argnames=("n_bits", "k_max", "patch", "min_area", "ccl_iters"))
-def _device_pipeline(images, n_bits: int, k_max: int, patch: int, min_area: int, ccl_iters: int):
-    """(B, H, W) uint8/float -> candidate quads + sampled bit grids."""
-    imgs = images.astype(jnp.float32)
+def marker_graph(imgs, n_bits: int, k_max: int, patch: int, min_area: int, ccl_iters: int):
+    """Traceable marker-candidate graph: (B, H, W) float32 -> candidate quads
+    + sampled bit grids. Composable into larger fused programs (the charuco
+    tracker runs this and the X-corner graph in ONE dispatch).
+
+    Connectivity runs at FULL resolution — pooling the mask before labeling
+    was measured to bridge the 1-px diagonal contacts of chessboard squares
+    and swallow the quiet zones of ~24 px markers on real footage. The
+    expensive parts are made TPU-cheap elsewhere: per-component statistics
+    use dense rank ids + two fused scatters over a pooled grid
+    (component_candidates), and patches are contiguous dynamic-slice
+    windows from a pyramid (extract_patches)."""
     # multi-scale threshold union: small radius outlines small markers
     # sharply; the large radius keeps the interiors of big blobs foreground
     # (the reference's detector sweeps adaptive-threshold window sizes too)
-    binary = adaptive_threshold(imgs, radius=10, c=7.0) | adaptive_threshold(imgs, radius=26, c=7.0)
+    integral = integral_image(imgs)
+    binary = adaptive_threshold(imgs, radius=10, c=7.0, integral=integral) | adaptive_threshold(
+        imgs, radius=26, c=7.0, integral=integral
+    )
     labels = connected_components(binary, n_iters=ccl_iters)
     sel, areas, bbox, valid = component_candidates(binary, labels, k_max, float(min_area))
-    gray, mask, origin, scale = extract_patches(imgs, labels, sel, bbox, patch)
+    gray, mask, origin, scale = extract_patches(imgs, binary, labels, sel, bbox, patch)
     quads0 = quad_corners_from_mask(mask)
     quads = refine_quad_edges(gray, quads0)
     cells = sample_marker_bits(gray, quads, n_bits)
@@ -66,6 +78,11 @@ def _device_pipeline(images, n_bits: int, k_max: int, patch: int, min_area: int,
     ) * 0.5
     valid = valid & (area2 > float(min_area) * 0.3)
     return quads_img, cells, valid, areas
+
+
+@partial(jax.jit, static_argnames=("n_bits", "k_max", "patch", "min_area", "ccl_iters"))
+def _device_pipeline(images, n_bits: int, k_max: int, patch: int, min_area: int, ccl_iters: int):
+    return marker_graph(images.astype(jnp.float32), n_bits, k_max, patch, min_area, ccl_iters)
 
 
 def _canonical_roll(corners: np.ndarray, rotation: int) -> np.ndarray:
@@ -107,15 +124,19 @@ def detect_markers(
     images = np.asarray(images)
     if images.ndim == 2:
         images = images[None]
-    B = images.shape[0]
-    quads, cells, valid, areas = _device_pipeline(
-        jnp.asarray(images), d.marker_size, k_max, patch, min_area, ccl_iters
+    quads, cells, valid, _areas = jax.device_get(
+        _device_pipeline(jnp.asarray(images), d.marker_size, k_max, patch, min_area, ccl_iters)
     )
-    quads = np.asarray(quads)
-    cells = np.asarray(cells)
-    valid = np.asarray(valid)
-    areas = np.asarray(areas)
+    return assemble_marker_detections(quads, cells, valid, d, border_frac)
 
+
+def assemble_marker_detections(
+    quads: np.ndarray, cells: np.ndarray, valid: np.ndarray, d: ArucoDictionary, border_frac: float = 0.80
+) -> list[MarkerDetections]:
+    """Host-side decode of the device program's candidate outputs: per-
+    candidate bit threshold, border blackness + contrast gates, dictionary
+    match, canonical corner roll, duplicate-id dedupe by hamming."""
+    B = quads.shape[0]
     n = d.marker_size
     out: list[MarkerDetections] = []
     for b in range(B):

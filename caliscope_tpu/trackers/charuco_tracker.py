@@ -18,11 +18,15 @@ TPU-native pipeline (vs cv2.aruco.CharucoDetector.detectBoard + cornerSubPix):
 from __future__ import annotations
 
 import logging
+from functools import partial
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from caliscope_tpu.detect.aruco import detect_markers
-from caliscope_tpu.detect.corners import detect_x_corners_device
+from caliscope_tpu.detect.aruco import assemble_marker_detections, detect_markers, marker_graph
+from caliscope_tpu.detect.corners import detect_x_corners_device, xcorner_graph
+from caliscope_tpu.detect.dictionaries import get_dictionary
 from caliscope_tpu.packets import PixelFormat, PointPacket
 from caliscope_tpu.targets.charuco import Charuco
 from caliscope_tpu.tracker import Tracker
@@ -31,6 +35,24 @@ logger = logging.getLogger(__name__)
 
 MIN_MARKERS_FOR_BOARD = 1
 X_CORNER_KMAX = 256
+
+
+@partial(jax.jit, static_argnames=("n_bits", "k_max", "patch", "min_area", "ccl_iters", "x_kmax", "use_pallas"))
+def _charuco_device_program(
+    images, n_bits: int, k_max: int, patch: int, min_area: int, ccl_iters: int, x_kmax: int, use_pallas: bool
+):
+    """Markers + X-corners for a whole frame stack as ONE device program.
+
+    One dispatch and one host->device upload per stack: through the TPU
+    tunnel each dispatch costs ~50 ms of latency, so the charuco tracker's
+    two detection stages (marker pipeline, X-corner pipeline) must not be
+    separate programs. The uint8->float cast also happens on device, halving
+    upload bytes vs shipping float32 frames.
+    """
+    imgs = images.astype(jnp.float32) if images.dtype != jnp.float32 else images
+    quads, cells, valid, _areas = marker_graph(imgs, n_bits, k_max, patch, min_area, ccl_iters)
+    xy, _score, xvalid = xcorner_graph(imgs, x_kmax, use_pallas)
+    return quads, cells, valid, xy, xvalid
 
 
 def _fit_homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray | None:
@@ -72,6 +94,20 @@ class CharucoTracker(Tracker):
         return self.charuco.chessboard_corners()[:, :2]
 
     # ---- detection ----------------------------------------------------------
+    def _run_stack(self, stack: np.ndarray):
+        """Run the fused device program on a (B, H, W) stack; returns
+        (per-frame MarkerDetections, per-frame X-corner candidate arrays)."""
+        d = get_dictionary(self.charuco.dictionary)
+        quads, cells, valid, xy, xvalid = jax.device_get(
+            _charuco_device_program(
+                jnp.asarray(stack), d.marker_size, 64, 96, 49, 4, X_CORNER_KMAX,
+                jax.default_backend() == "tpu",
+            )
+        )
+        dets_list = assemble_marker_detections(quads, cells, valid, d)
+        cand_list = [xy[b][xvalid[b]] for b in range(stack.shape[0])]
+        return dets_list, cand_list
+
     def _detect_face(self, gray: np.ndarray, dets=None, cand=None):
         """Detect on one orientation. Returns (keypoint_ids, img_xy) or None.
 
@@ -282,8 +318,9 @@ class CharucoTracker(Tracker):
         # the true face keeps its whole marker set, the aliased one keeps 1-2.
         best = None  # (score, mirrored, kps, img_xy)
         for mirrored in orders:
-            g = gray[:, ::-1] if mirrored else gray
-            result = self._detect_face(np.ascontiguousarray(g))
+            g = np.ascontiguousarray(gray[:, ::-1] if mirrored else gray)
+            dets_list, cand_list = self._run_stack(g[None])
+            result = self._detect_face(g, dets=dets_list[0], cand=cand_list[0])
             if result is None:
                 continue
             kps, img_xy, n_markers = result
@@ -345,13 +382,18 @@ class CharucoTracker(Tracker):
             stack = grays[pending]
             if mirrored:
                 stack = stack[:, :, ::-1]
+            # pad the retry stack back to the full batch shape: the device
+            # program is compiled per stack shape, and a variable-length
+            # pending set would trigger a fresh (minutes-long) XLA compile
+            # per distinct size
+            n_pending = stack.shape[0]
+            if 0 < n_pending < B:
+                stack = np.concatenate([stack, np.broadcast_to(stack[:1], (B - n_pending, *stack.shape[1:]))])
             stack = np.ascontiguousarray(stack)
-            dets_list = detect_markers(stack, self.charuco.dictionary)
-            xy, _s, valid = detect_x_corners_device(stack.astype(np.float32), k_max=X_CORNER_KMAX)
-            xy, valid = np.asarray(xy), np.asarray(valid)
+            dets_list, cand_list = self._run_stack(stack)
             still = []
             for j, b in enumerate(pending):
-                result = self._detect_face(stack[j], dets=dets_list[j], cand=xy[j][valid[j]])
+                result = self._detect_face(stack[j], dets=dets_list[j], cand=cand_list[j])
                 accepted = False
                 if result is not None:
                     kps, img_xy, n_markers = result

@@ -22,6 +22,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", os.environ.get("CALISCOPE_TPU_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite's walltime is dominated by x64-CPU
+# recompiles of the same solver programs across test processes; warm runs
+# skip them entirely.
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/caliscope_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
