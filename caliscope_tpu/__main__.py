@@ -50,7 +50,15 @@ def main(argv=None) -> int:
     p.add_argument("recording", type=str)
     p.add_argument("--frame-step", type=int, default=1)
 
+    p = sub.add_parser("gui", help="launch the GUI (PySide6 if installed, headless-Qt otherwise)")
+    p.add_argument("workspace", type=Path, nargs="?", default=None)
+
     args = parser.parse_args(argv)
+
+    if args.command == "gui":
+        from caliscope_tpu.gui import main as gui_main
+
+        return gui_main(args.workspace)
 
     from caliscope_tpu.logger import setup_logging
     from caliscope_tpu.workspace import Workspace

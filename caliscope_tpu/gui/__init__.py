@@ -1,21 +1,28 @@
-"""Qt view layer over the headless presenters (reference gui/, §2.7).
+"""GUI layer over the headless presenters (reference gui/, SURVEY §2.7).
 
-The reference ships a PySide6 MVP stack (main_widget.py, workspace
-coordinator, views). Here the presenters are framework-agnostic
-(caliscope_tpu/presenters) and this package supplies a functional — though
-deliberately minimal relative to the reference's polish — Qt view layer:
-workspace browser, per-camera intrinsic calibration, extrinsic
-extraction/calibration with filtering and anchoring, and recording
-reconstruction, each driving the same pipeline objects the CLI uses.
+Architecture mirrors the reference's PySide6 MVP stack:
 
-PySide6 is an optional dependency: importing this package is safe
-everywhere; constructing the GUI raises a clear error when Qt is missing.
+- main_window.py — welcome screen, recent projects, the Project /
+  Intrinsics / Extract / Extrinsics / Reconstruct tab flow with workflow
+  gating, docked live log, filesystem watching.
+- views/ — one widget per tab, bound to the framework-agnostic presenters
+  (caliscope_tpu/presenters) through the SignalBridge (worker-thread
+  callbacks delivered queued on the GUI thread).
+- widgets/ — target config panels with live board preview, coverage
+  heatmap, calibration-quality tabs (reprojection/rigidity/scale +
+  sparkline), lens model visualizer, structural warnings, software-rendered
+  3D capture-volume playback, workflow step strip, welcome screen.
+- qt.py — backend selector: PySide6 when installed (offscreen-capable, the
+  reference's own test strategy), else the pure-Python headless Qt in
+  headless.py, which keeps every view constructible, drivable, and
+  assertable in CI images without Qt wheels.
 """
 
 from __future__ import annotations
 
 
 def qt_available() -> bool:
+    """True when real PySide6 backs the GUI (vs the headless fallback)."""
     try:
         import PySide6  # noqa: F401
 
@@ -25,13 +32,7 @@ def qt_available() -> bool:
 
 
 def main(workspace_dir=None) -> int:
-    """Launch the GUI. Raises RuntimeError when PySide6 is unavailable."""
-    if not qt_available():
-        raise RuntimeError(
-            "The GUI requires PySide6, which is not installed. The headless "
-            "Workspace/CLI (python -m caliscope_tpu ...) drives the identical "
-            "calibration core."
-        )
-    from caliscope_tpu.gui.app import run_app
+    """Launch the GUI (real Qt event loop, or the headless loop otherwise)."""
+    from caliscope_tpu.gui.main_window import run_app
 
     return run_app(workspace_dir)

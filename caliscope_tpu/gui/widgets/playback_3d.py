@@ -1,0 +1,97 @@
+"""3D capture-volume playback: world points + camera frusta + frame scrub.
+
+Parity: reference gui/widgets/qt3d_playback_widget.py + gui/qt3d/ — orbit
+view of the calibrated volume with per-sync-index playback. Rendering is
+the software rasterizer in gui/rendering.py (no Qt3D/GPU dependency); the
+orbit/zoom controls mutate the virtual camera and re-render.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from caliscope_tpu.gui.qt import (
+    QHBoxLayout,
+    QLabel,
+    QPushButton,
+    QSlider,
+    Qt,
+    QVBoxLayout,
+    QWidget,
+)
+from caliscope_tpu.gui.rendering import Scene3DRenderer, to_pixmap
+from caliscope_tpu.observations import STATIC_SYNC_INDEX
+
+
+class Playback3DWidget(QWidget):
+    def __init__(self, parent=None, width: int = 640, height: int = 480):
+        super().__init__(parent)
+        self.renderer = Scene3DRenderer(width, height)
+        self._volume = None
+        self._sync_indices: np.ndarray = np.zeros(0, int)
+
+        layout = QVBoxLayout(self)
+        self.canvas = QLabel()
+        layout.addWidget(self.canvas)
+
+        controls = QHBoxLayout()
+        for label, fn in [
+            ("⟲", lambda: self._orbit(-15, 0)),
+            ("⟳", lambda: self._orbit(15, 0)),
+            ("↑", lambda: self._orbit(0, 10)),
+            ("↓", lambda: self._orbit(0, -10)),
+            ("+", lambda: self._zoom(0.8)),
+            ("−", lambda: self._zoom(1.25)),
+        ]:
+            b = QPushButton(label)
+            b.clicked.connect(fn)
+            controls.addWidget(b)
+        self.frame_label = QLabel("")
+        controls.addWidget(self.frame_label)
+        layout.addLayout(controls)
+
+        self.slider = QSlider(Qt.Horizontal)
+        self.slider.valueChanged.connect(lambda _v: self.refresh())
+        layout.addWidget(self.slider)
+
+    # ---- data ---------------------------------------------------------------
+    def set_volume(self, volume) -> None:
+        self._volume = volume
+        wp = volume.world_points
+        syncs = np.unique(wp.sync_index[wp.sync_index != STATIC_SYNC_INDEX]).astype(int)
+        self._sync_indices = syncs
+        self.slider.setRange(0, max(len(syncs) - 1, 0))
+        # frame the scene: target = centroid, distance from extent
+        xyz = np.asarray(wp.xyz)
+        if len(xyz):
+            self.renderer.target = xyz.mean(axis=0)
+            extent = float(np.linalg.norm(xyz.std(axis=0))) * 4 + 1.0
+            self.renderer.distance = extent
+        self.refresh()
+
+    def current_sync_index(self) -> int | None:
+        if not len(self._sync_indices):
+            return None
+        return int(self._sync_indices[min(self.slider.value(), len(self._sync_indices) - 1)])
+
+    # ---- view controls --------------------------------------------------------
+    def _orbit(self, d_az: float, d_el: float) -> None:
+        self.renderer.azimuth = (self.renderer.azimuth + d_az) % 360
+        self.renderer.elevation = float(np.clip(self.renderer.elevation + d_el, -85, 85))
+        self.refresh()
+
+    def _zoom(self, factor: float) -> None:
+        self.renderer.distance = float(np.clip(self.renderer.distance * factor, 0.2, 100.0))
+        self.refresh()
+
+    # ---- render ---------------------------------------------------------------
+    def refresh(self) -> None:
+        if self._volume is None:
+            return
+        wp = self._volume.world_points
+        xyz = np.asarray(wp.xyz)
+        sync = self.current_sync_index()
+        highlight = xyz[wp.sync_index == sync] if sync is not None else None
+        img = self.renderer.render(xyz, self._volume.camera_array, highlight)
+        self.canvas.setPixmap(to_pixmap(img))
+        self.frame_label.setText(f"sync {sync}" if sync is not None else "")

@@ -300,3 +300,91 @@ class Workspace:
         )
         cameras = self.cameras.load()
         reconstruct_xyz(points, cameras, tracker, rec_dir / tracker.name)
+
+
+class WorkspaceWatcher:
+    """Poll-based filesystem watcher for workspace state changes.
+
+    Plays the role of the reference's QFileSystemWatcher wiring
+    (workspace_coordinator.py:121) without a Qt dependency: a daemon thread
+    samples the modification state of the workspace's load-bearing paths
+    (camera array, capture volume, target definitions, stage directories)
+    and invokes `on_change(changed_keys)` from the watcher thread whenever
+    the fingerprint moves. GUI callers route the callback through their
+    signal bridge; headless callers (tests, long-running services) use it
+    directly. Polling (default 1 s) is deliberate: inotify descriptors leak
+    across the many short-lived test workspaces, and calibration artifacts
+    change at human timescales.
+    """
+
+    def __init__(self, workspace: Workspace, on_change, poll_interval: float = 1.0):
+        import threading
+
+        self.workspace = workspace
+        self.on_change = on_change
+        self.poll_interval = poll_interval
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._snapshot = self._fingerprint()
+
+    # ---- fingerprinting -------------------------------------------------------
+    def _stat_key(self, path: Path):
+        try:
+            st = path.stat()
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    def _dir_key(self, path: Path):
+        if not path.is_dir():
+            return None
+        try:
+            return tuple(sorted(p.name for p in path.iterdir()))
+        except OSError:
+            return None
+
+    def _fingerprint(self) -> dict:
+        ws = self.workspace
+        return {
+            "camera_array": self._stat_key(ws.cameras.path),
+            "capture_volume": self._stat_key(ws.capture_volume.base_path / "camera_array.toml"),
+            "targets": self._dir_key(ws.targets.targets_dir),
+            "intrinsic_videos": self._dir_key(ws.intrinsic_dir),
+            "extrinsic_videos": self._dir_key(ws.extrinsic_dir),
+            "recordings": self._dir_key(ws.recording_dir),
+            "settings": self._stat_key(ws.settings.path),
+        }
+
+    # ---- lifecycle --------------------------------------------------------------
+    def poll_once(self) -> list[str]:
+        """One comparison pass; returns the changed keys (and fires the
+        callback when non-empty). Used by tests and by the thread loop."""
+        now = self._fingerprint()
+        changed = [k for k in now if now[k] != self._snapshot.get(k)]
+        self._snapshot = now
+        if changed:
+            try:
+                self.on_change(changed)
+            except Exception:
+                logger.exception("WorkspaceWatcher callback failed")
+        return changed
+
+    def start(self) -> "WorkspaceWatcher":
+        import threading
+
+        if self._thread is not None:
+            return self
+
+        def loop():
+            while not self._stop.wait(self.poll_interval):
+                self.poll_once()
+
+        self._thread = threading.Thread(target=loop, name="workspace-watcher", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None

@@ -24,8 +24,13 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite's walltime is dominated by x64-CPU
 # recompiles of the same solver programs across test processes; warm runs
-# skip them entirely.
-jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/caliscope_jax_cache"))
+# skip them entirely. The directory is test-suite-specific: bench.py's
+# TPU/axon runs bake different XLA CPU target flags (prefer-no-scatter) into
+# AOT entries, and sharing a directory trips cross-machine-feature loads.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/caliscope_jax_cache_tests"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
