@@ -25,16 +25,43 @@ from caliscope_tpu.tracker import Tracker, WireFrameView
 logger = logging.getLogger(__name__)
 
 
-def create_inference_session(model_path, prefer_gpu: bool = True):
-    """onnxruntime session with provider auto-select
-    (reference onnx_session.py:18)."""
+def create_inference_session(model_path, prefer_gpu: bool = True, engine: str = "auto"):
+    """Inference session for an .onnx model.
+
+    engine:
+      'auto' (default) — the first-party JAX executor (pose/onnx_jax.py):
+          the whole network compiles to one XLA program and runs on the
+          default JAX device (the TPU when present). Falls back to
+          onnxruntime only when the graph uses ops the executor lacks AND
+          ORT is installed.
+      'jax' — JAX executor, no fallback.
+      'ort' — onnxruntime with provider auto-select (reference
+          onnx_session.py:18 behavior).
+    """
+    if engine in ("auto", "jax"):
+        from caliscope_tpu.pose.onnx_jax import OnnxJaxSession, _Executor
+        from caliscope_tpu.pose.onnx_proto import load_model
+
+        model = load_model(model_path)
+        missing = sorted(
+            {n.op_type for n in model.graph.nodes if not hasattr(_Executor, f"op_{n.op_type}")}
+        )
+        if not missing:
+            return OnnxJaxSession(model)
+        if engine == "jax":
+            raise CalibrationError(
+                f"The JAX ONNX executor does not implement: {', '.join(missing)} "
+                f"(model {model_path})."
+            )
+        logger.warning(f"JAX executor lacks ops {missing}; trying onnxruntime for {model_path}")
+
     try:
         import onnxruntime as ort
     except ImportError as e:
         raise CalibrationError(
-            "Markerless pose tracking requires onnxruntime, which is not installed "
-            "in this environment. Install onnxruntime (or onnxruntime-gpu), or use "
-            "a calibration-target tracker (charuco/aruco/chessboard) instead."
+            "This model needs onnxruntime (ops missing from the built-in JAX "
+            "executor), which is not installed. Install onnxruntime, or use a "
+            "calibration-target tracker (charuco/aruco/chessboard) instead."
         ) from e
     providers = ort.get_available_providers()
     chosen = [p for p in ("CUDAExecutionProvider", "CPUExecutionProvider") if p in providers]
