@@ -132,12 +132,16 @@ class MainWindow(QMainWindow):
         self.extract_tab = ExtractView(self)
         self.extrinsic_tab = ExtrinsicCalibrationView(self)
         self.reconstruct_tab = ReconstructionView(self)
+        from caliscope_tpu.gui.views.explorer_view import ExplorerView
+
+        self.explorer_tab = ExplorerView()
         for tab, name in [
             (self.project_tab, TabName.PROJECT),
             (self.intrinsic_tab, TabName.INTRINSICS),
             (self.extract_tab, TabName.EXTRACT),
             (self.extrinsic_tab, TabName.EXTRINSICS),
             (self.reconstruct_tab, TabName.RECONSTRUCT),
+            (self.explorer_tab, TabName.EXPLORER),
         ]:
             self.tabs.addTab(tab, str(name))
         layout.addWidget(self.tabs, 1)

@@ -15,6 +15,7 @@ class TabName(str, Enum):
     EXTRACT = "Extract"
     EXTRINSICS = "Extrinsics"
     RECONSTRUCT = "Reconstruct"
+    EXPLORER = "Explorer"
 
     def __str__(self) -> str:  # str(TabName.PROJECT) == "Project"
         return self.value

@@ -273,7 +273,7 @@ class TestMainWindow:
         QFileDialog.next_path = str(workspace.root)
         win.welcome.open_project_requested.emit()
         assert win.ws is not None and win.ws.root == workspace.root
-        assert win.tabs.count() == 5
+        assert win.tabs.count() == 6
         # recents persisted
         assert win.recent_projects() == [str(workspace.root)]
         win.close()
@@ -382,3 +382,47 @@ class TestWorkspaceWatcher:
             time.sleep(0.02)
         watcher.stop()
         assert events and "settings" in events[0]
+
+
+class TestExplorer:
+    def test_pipeline_recovers_ground_truth(self, app, tmp_path, workspace):
+        win = self._win(tmp_path, workspace)
+        tab = win.explorer_tab
+        tab.noise_box.setValue(0.3)
+        tab.run_btn.click()
+        pump(app, until=lambda: "RMSE" in tab.status.text() or "Error" in tab.status.text(), timeout=600)
+        assert "RMSE" in tab.status.text(), tab.status.text()
+        result = tab.presenter.result
+        assert result.error is None
+        assert result.max_rotation_error_deg < 0.5
+        assert result.max_translation_error_m < 0.01
+        # all four storyboard panels rendered
+        for name, canvas in tab.panels.items():
+            assert canvas.pixmap() is not None, name
+        assert tab.metrics_table.rowCount() == 4
+        # scrubbing re-renders with a different highlight
+        img0 = tab.panels["aligned"].pixmap().image.array.copy()
+        tab.slider.setValue(tab.slider.maximum())
+        img1 = tab.panels["aligned"].pixmap().image.array
+        assert (img0 != img1).any()
+        win.close()
+
+    def test_perturbed_preset_degrades_extrinsics(self, app):
+        """The +5% focal preset must produce measurably worse extrinsics than
+        the clean ring — the explorer's whole point is showing intrinsic
+        error propagating into the pose solve."""
+        from caliscope_tpu.synthetic.explorer import ExplorerPresenter
+
+        clean = ExplorerPresenter()
+        clean.select_preset("ring", noise_sigma_px=0.3)
+        clean.run_pipeline(block=True)
+        perturbed = ExplorerPresenter()
+        perturbed.select_preset("perturbed", noise_sigma_px=0.3)
+        perturbed.run_pipeline(block=True)
+        assert clean.result.error is None and perturbed.result.error is None
+        assert perturbed.result.max_translation_error_m > 2 * clean.result.max_translation_error_m
+
+    def _win(self, tmp_path, workspace):
+        from caliscope_tpu.gui.main_window import MainWindow
+
+        return MainWindow(workspace_dir=workspace.root, settings_path=tmp_path / "s.toml")
