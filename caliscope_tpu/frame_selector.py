@@ -46,13 +46,19 @@ def _frame_homography(obj_xy: np.ndarray, img_xy: np.ndarray) -> np.ndarray | No
     si = np.sqrt(2) / max(np.mean(np.linalg.norm(img_xy - mi, axis=1)), 1e-9)
     o = (obj_xy - mo) * so
     p = (img_xy - mi) * si
-    A = []
-    for (x, y), (u, v) in zip(o, p):
-        A.append([-x, -y, -1, 0, 0, 0, u * x, u * y, u])
-        A.append([0, 0, 0, -x, -y, -1, v * x, v * y, v])
-    A = np.asarray(A)
-    _, _, Vt = np.linalg.svd(A)
-    Hn = Vt[-1].reshape(3, 3)
+    x, y = o[:, 0], o[:, 1]
+    u, v = p[:, 0], p[:, 1]
+    zero = np.zeros(n)
+    one = np.ones(n)
+    A = np.empty((2 * n, 9))
+    A[0::2] = np.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=1)
+    A[1::2] = np.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=1)
+    # null vector via the 9x9 normal matrix: after normalization the system
+    # is well-conditioned, and eigh of AtA costs O(9^3) vs a full SVD's
+    # O(n * 81) + LAPACK overhead (the homography fit dominated the whole
+    # per-frame host assembly through the 2n x 9 SVD)
+    _, vecs = np.linalg.eigh(A.T @ A)
+    Hn = vecs[:, 0].reshape(3, 3)
     Ti = np.array([[si, 0, -si * mi[0]], [0, si, -si * mi[1]], [0, 0, 1]])
     To = np.array([[so, 0, -so * mo[0]], [0, so, -so * mo[1]], [0, 0, 1]])
     H = np.linalg.inv(Ti) @ Hn @ To
