@@ -4,21 +4,29 @@ The TPU-native replacement for OpenCV's contour-based marker candidate stage
 (cv2.aruco.ArucoDetector internals — reference trackers/aruco_tracker.py:76,
 charuco_tracker.py:98 delegate to it). Design:
 
-1. adaptive_threshold — local-mean binarization (separable box filter).
+1. adaptive_threshold — local-mean binarization from ONE shared integral
+   image (two cumsum passes serve every window radius via static slices).
 2. connected_components — label propagation with segmented min-scans along
-   rows/columns (associative_scan) + 3x3 min pooling, fixed iterations. All
-   label state lives on device; no contour tracing.
-3. component stats — segment reductions keyed by label (area/centroid/bbox),
-   top-K area-band selection gives a STATIC K candidate slots per frame.
-4. extract_patches — each candidate's bbox is resampled to a fixed PxP patch
-   (bilinear), so all downstream work (corner finding, edge refinement, bit
-   sampling) is dense and statically shaped regardless of blob size.
+   rows/columns, fixed iterations. All label state lives on device; no
+   contour tracing.
+3. component_candidates — dense rank ids (a cumsum over root pixels, not a
+   scatter) + two fused segment reductions over a pooled grid give exact
+   per-component area/bbox; top-K in the area band gives a STATIC K
+   candidate slots per frame.
+4. extract_patches — each candidate takes a contiguous dynamic-slice PxP
+   window from an image pyramid level matched to its size, so downstream
+   work (corner finding, edge refinement, bit sampling) is dense and
+   statically shaped regardless of blob size, and the TPU never performs
+   per-pixel random-access gathers.
 5. quad_corners_from_mask — farthest-point quadrilateral heuristic on the
-   patch mask; refine_quad_edges — gradient line fits + intersections for
+   patch mask; refine_quad_edges — flat-band gradient-energy line fits
+   over FIXED pixels (single fused moment pass) + intersections for
    subpixel corners.
 
 Everything batches over (B, H, W) frame stacks; per-frame Python loops never
-touch the hot path.
+touch the hot path. The guiding rule, measured on the v5e: slices, scans,
+reductions, and elementwise math vectorize; per-element gathers and wide
+scatters serialize — every stage here is built from the first list.
 """
 
 from __future__ import annotations
@@ -468,13 +476,17 @@ def refine_quad_edges(gray, quads, search: float = 2.5, shrink: float = 0.08):
             band = (jnp.abs(dist) <= search) * (t >= shrink) * (t <= 1.0 - shrink)
             gn = gx_img * normal[0] + gy_img * normal[1]
             w = band * gn * gn
-            wsum = jnp.maximum(jnp.sum(w), 1e-6)
-            cen = jnp.stack([jnp.sum(w * pxw), jnp.sum(w * pyw)]) / wsum
-            ux = pxw - cen[0]
-            uy = pyw - cen[1]
-            cxx = jnp.sum(w * ux * ux)
-            cxy = jnp.sum(w * ux * uy)
-            cyy = jnp.sum(w * uy * uy)
+            # ONE fused pass of raw moments (centered covariance derived
+            # after the reduction) — a centroid-first formulation chains two
+            # dependent reductions over the patch and XLA materializes the
+            # intermediates at (B*K, 4, P, P) scale
+            m = jnp.stack([w, w * pxw, w * pyw, w * pxw * pxw, w * pxw * pyw, w * pyw * pyw])
+            s0, sx, sy, sxx, sxy, syy = jnp.sum(m, axis=(1, 2))
+            s0 = jnp.maximum(s0, 1e-6)
+            cen = jnp.stack([sx, sy]) / s0
+            cxx = sxx - sx * sx / s0
+            cxy = sxy - sx * sy / s0
+            cyy = syy - sy * sy / s0
             # dominant eigenvector of the 2x2 covariance, closed form
             theta = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
             direction = jnp.stack([jnp.cos(theta), jnp.sin(theta)])
@@ -536,7 +548,7 @@ def homography_from_unit_square(quad):
     return H
 
 
-def sample_marker_bits(gray, quad, n_bits: int, subsamples: int = 3):
+def sample_marker_bits(gray, quad, n_bits: int, subsamples: int = 2):
     """Sample the (n_bits + 2)^2 cell grid (border included) of a marker quad.
 
     gray: (..., P, P) patch; quad: (..., 4, 2) patch coords ordered

@@ -33,13 +33,18 @@ class FramePacketStreamer:
         tracker: Optional[Tracker] = None,
         fps_override: Optional[float] = None,
         queue_depth: int = 4,
+        end_behavior: str = "stop",  # 'stop' | 'pause' | 'loop' at end of video
     ):
         self.video_path = Path(video_path)
         self.cam_id = cam_id
         self.tracker = tracker
         props = read_video_properties(self.video_path)
         self.frame_count = props.frame_count
+        self._native_fps = props.fps
         self.fps = fps_override or props.fps
+        if end_behavior not in ("stop", "pause", "loop"):
+            raise ValueError(f"end_behavior must be stop|pause|loop, got {end_behavior!r}")
+        self.end_behavior = end_behavior
         self._queue_depth = queue_depth
         self._subscribers: list[Queue] = []
         self._lock = threading.Lock()
@@ -93,6 +98,11 @@ class FramePacketStreamer:
     def seek(self, frame_index: int) -> None:
         self._seek_to = max(0, min(frame_index, self.frame_count - 1))
 
+    def set_fps_target(self, fps: Optional[float]) -> None:
+        """Re-pace playback on the fly (None restores the file's rate);
+        reference fps_target semantics (frame_packet_streamer.py)."""
+        self.fps = fps or self._native_fps
+
     def stop(self) -> None:
         self._stop.set()
         self._pause.clear()
@@ -114,7 +124,6 @@ class FramePacketStreamer:
 
     def _play_worker(self) -> None:
         src = self._open_source(self._position)
-        interval = 1.0 / max(self.fps, 1e-3)
         try:
             while not self._stop.is_set():
                 if self._seek_to is not None:
@@ -135,6 +144,14 @@ class FramePacketStreamer:
                 t0 = time.perf_counter()
                 pkt = src.next_frame()
                 if pkt is None:
+                    if self.end_behavior == "loop":
+                        src.close()
+                        self._position = 0
+                        src = self._open_source(0)
+                        continue
+                    if self.end_behavior == "pause":
+                        self._pause.set()
+                        continue
                     self._publish(None)  # end-of-stream sentinel
                     break
                 self._position = pkt.frame_index + 1
@@ -144,6 +161,7 @@ class FramePacketStreamer:
                 else:
                     self._publish(pkt)
                 elapsed = time.perf_counter() - t0
+                interval = 1.0 / max(self.fps, 1e-3)  # re-read: retargetable live
                 if elapsed < interval:
                     time.sleep(interval - elapsed)
         finally:

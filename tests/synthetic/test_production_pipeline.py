@@ -55,6 +55,7 @@ class TestHeadlinePoseRecovery:
         r_u = rigidity_report(cs, run_u.result.capture_volume.world_points).rmse_mm
         assert r_c <= r_u + 1e-9
 
+    @pytest.mark.slow  # 95 s: full synthesis path; headline recovery stays fast
     def test_blind_intrinsics_synthesis_path(self):
         """No intrinsics at all: pipeline synthesizes f=w/2 blind defaults,
         the depth-rich scene passes the refinement gate, and the rig is
@@ -83,6 +84,7 @@ class TestHeadlinePoseRecovery:
         assert run.max_translation_m <= TRANSLATION_TOL_M * 2
 
 
+@pytest.mark.slow  # 100 s: cross-face solve; rigidity contracts covered by the fast tier
 class TestTwoSidedBoard:
     def test_two_sided_cross_face_pose_recovery(self):
         """Two-sided board with backface culling: front-viewing and
@@ -110,6 +112,7 @@ class TestTwoSidedBoard:
         assert rigidity.rmse_mm < RIGIDITY_TOL_MM
 
 
+@pytest.mark.slow  # 41 s + 36 s: static-marker guards
 class TestStaticMarkerGuard:
     def test_static_markers_participate(self):
         scene = ring_with_static_markers(n_static_markers=2, noise_sigma_px=0.5)

@@ -9,6 +9,11 @@ expected behavior is derived from the physics of the configuration, not tuned.
 import numpy as np
 import pytest
 
+# Characterization suite over adversarial rig topologies: each case is a
+# full pipeline run (35-75 s on the 4-core CI box). Opt-in tier; the fast
+# tier's production-pipeline headline tests cover the core contracts.
+pytestmark = pytest.mark.slow
+
 from caliscope_tpu.synthetic.camera_synthesizer import CameraSynthesizer, LensProfile, strip_extrinsics
 from caliscope_tpu.synthetic.calibration_object import CalibrationObject
 from caliscope_tpu.synthetic.factories import default_ring_scene, narrow_baseline_scene, sparse_coverage_scene

@@ -61,6 +61,7 @@ class TestLegacyFormatInterop:
         assert ip.any_obj_loc
         assert np.nanmax(np.abs(ip.obj_loc[:, 2])) == 0.0
 
+    @pytest.mark.slow  # 56 s full real-session run
     def test_resolve_beats_committed_rig_on_legacy_extraction(self):
         """Strip extrinsics, re-solve the legacy committed extraction with
         our bootstrap + BA: match-or-beat the committed calibration
@@ -148,6 +149,7 @@ class TestRealSessionParity:
         ref_rmse = volume.reprojection_report.overall_rmse
         assert ref_rmse < 2.0, ref_rmse
 
+    @pytest.mark.slow  # 61 s full real-session run
     def test_our_pipeline_matches_or_beats_reference_on_real_extraction(self, post_optimization_session):
         """Strip the reference's extrinsics, re-solve with OUR bootstrap + BA,
         and compare reprojection RMSE on identical observations — the
@@ -215,6 +217,7 @@ class TestRealSessionParity:
 
 
 class TestFullPipelineOnRealVideo:
+    @pytest.mark.slow  # 91 s full real-session run
     def test_post_monocal_video_to_calibration(self, tmp_path):
         """The complete production path on the reference's real 4-camera
         post_monocal session: raw mp4s -> OUR synchronized extraction -> OUR

@@ -123,3 +123,58 @@ class TestStreamer:
                 break
         s.stop()
         assert first is not None and first.frame_index >= 5
+
+    def test_loop_end_behavior_wraps(self, tmp_path):
+        rec = _make_recording(tmp_path, cam_ids=(0,))
+        s = FramePacketStreamer(rec / "cam_0.mp4", cam_id=0, fps_override=500.0, end_behavior="loop")
+        q = s.subscribe()
+        s.play()
+        indices = []
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                item = q.get(timeout=1.0)
+            except Empty:
+                continue
+            assert item is not None, "loop mode must never publish the end sentinel"
+            indices.append(item.frame_index)
+            # wrapped: a later element smaller than its predecessor
+            if any(b < a for a, b in zip(indices, indices[1:])):
+                break
+        s.stop()
+        assert any(b < a for a, b in zip(indices, indices[1:])), indices
+
+    def test_pause_end_behavior_holds(self, tmp_path):
+        rec = _make_recording(tmp_path, cam_ids=(0,))
+        s = FramePacketStreamer(rec / "cam_0.mp4", cam_id=0, fps_override=500.0, end_behavior="pause")
+        q = s.subscribe()
+        s.play()
+        deadline = time.time() + 10
+        while time.time() < deadline and not s._pause.is_set():
+            try:
+                q.get(timeout=0.5)
+            except Empty:
+                pass
+        assert s._pause.is_set(), "end of stream should flip to paused"
+        # still alive: a backward seek + resume keeps streaming
+        s.seek(0)
+        s.play()
+        got = None
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            try:
+                got = q.get(timeout=1.0)
+                if got is not None:
+                    break
+            except Empty:
+                continue
+        s.stop()
+        assert got is not None
+
+    def test_set_fps_target(self, tmp_path):
+        rec = _make_recording(tmp_path, cam_ids=(0,))
+        s = FramePacketStreamer(rec / "cam_0.mp4", cam_id=0, fps_override=30.0)
+        s.set_fps_target(240.0)
+        assert s.fps == 240.0
+        s.set_fps_target(None)
+        assert s.fps == s._native_fps
