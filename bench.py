@@ -393,6 +393,43 @@ def _emit(metric, value, unit, vs_baseline):
                       "vs_baseline": round(vs_baseline, 3)}), flush=True)
 
 
+class _SectionTimeout(Exception):
+    pass
+
+
+class _section_guard:
+    """SIGALRM watchdog around one bench section: a wedged compile service
+    or tunnel must skip the section, not starve the headline metric (the
+    driver records whatever bench.py manages to print)."""
+
+    def __init__(self, name: str, seconds: int):
+        self.name = name
+        self.seconds = seconds
+
+    def __enter__(self):
+        import signal
+
+        def on_alarm(_sig, _frm):
+            raise _SectionTimeout(self.name)
+
+        self._old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        import signal
+
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        if exc_type is _SectionTimeout:
+            _log(f"SKIPPED {self.name}: exceeded {self.seconds}s (wedged compile/tunnel?)")
+            return True
+        if exc_type is not None and exc_type is not KeyboardInterrupt:
+            _log(f"SKIPPED {self.name}: {exc_type.__name__}: {exc}")
+            return True
+        return False
+
+
 def main():
     only = os.environ.get("CALISCOPE_BENCH_ONLY", "").split(",") if os.environ.get("CALISCOPE_BENCH_ONLY") else None
 
@@ -405,18 +442,20 @@ def main():
         return
 
     if want("detect"):
-        _log("detection benchmark")
-        ours_fps, cv_fps = bench_detect()
-        _emit("detect_frames_per_sec_720p", ours_fps, "frames/s", ours_fps / cv_fps)
+        with _section_guard("detect", int(os.environ.get("CALISCOPE_BENCH_SECTION_TIMEOUT", 1200))):
+            _log("detection benchmark")
+            ours_fps, cv_fps = bench_detect()
+            _emit("detect_frames_per_sec_720p", ours_fps, "frames/s", ours_fps / cv_fps)
 
     data = None
     if want("scaling"):
-        data = _synth_problem()
-        _log("scaling benchmark (virtual CPU mesh)")
-        ips = bench_scaling(*data)
-        if 8 in ips and 1 in ips:
-            retained_pct = 100.0 * ips[8] / ips[1]
-            _emit("ba_shard_8dev_throughput_retained", retained_pct, "%", retained_pct / 80.0)
+        with _section_guard("scaling", int(os.environ.get("CALISCOPE_BENCH_SECTION_TIMEOUT", 1200))):
+            data = _synth_problem()
+            _log("scaling benchmark (virtual CPU mesh)")
+            ips = bench_scaling(*data)
+            if 8 in ips and 1 in ips:
+                retained_pct = 100.0 * ips[8] / ips[1]
+                _emit("ba_shard_8dev_throughput_retained", retained_pct, "%", retained_pct / 80.0)
 
     if want("ba"):
         if data is None:
