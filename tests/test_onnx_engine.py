@@ -261,3 +261,92 @@ class TestLivePoseInference:
         out = tmp_path / "export"
         reconstruct_xyz(points, cameras, tracker, out)
         assert any(out.rglob("*.trc")) or any(out.rglob("*.csv"))
+
+
+class TestExecutorOpCoverage:
+    """Ops the RTMPose-class export graphs use beyond the main CNN path."""
+
+    def _run(self, build, feeds):
+        sess = OnnxJaxSession(build)
+        return sess.run(None, feeds)
+
+    def test_slice_pad_expand(self):
+        b = GraphBuilder("x", (2, 3, 6))
+        sl = b.node("Slice", ["x", b.init(np.asarray([1], np.int64), "st"),
+                    b.init(np.asarray([5], np.int64), "en"), b.init(np.asarray([2], np.int64), "ax")])[0]
+        pd = b.node("Pad", [sl, b.init(np.asarray([0, 0, 1, 0, 0, 1], np.int64), "pads")])[0]
+        model = b.finish([pd])
+        x = np.arange(36, dtype=np.float32).reshape(2, 3, 6)
+        (got,) = self._run(model, {"x": x})
+        want = np.pad(x[:, :, 1:5], ((0, 0), (0, 0), (1, 1)))
+        np.testing.assert_allclose(got, want)
+
+    def test_squeeze_unsqueeze_concat_gather(self):
+        b = GraphBuilder("x", (2, 1, 4))
+        sq = b.node("Squeeze", ["x", b.init(np.asarray([1], np.int64), "ax1")])[0]
+        un = b.node("Unsqueeze", [sq, b.init(np.asarray([0], np.int64), "ax0")])[0]
+        cc = b.node("Concat", [un, un], axis=0)[0]
+        g = b.node("Gather", [cc, b.init(np.asarray([1], np.int64), "idx")], axis=0)[0]
+        model = b.finish([g])
+        x = np.random.default_rng(0).normal(size=(2, 1, 4)).astype(np.float32)
+        (got,) = self._run(model, {"x": x})
+        np.testing.assert_allclose(got, x.squeeze(1)[None])
+
+    def test_activation_family(self):
+        import torch.nn.functional as F
+
+        x = torch.randn(2, 8)
+        for op, ref in [
+            ("HardSigmoid", torch.clamp(0.2 * x + 0.5, 0, 1)),
+            ("HardSwish", F.hardswish(x)),
+            ("Erf", torch.erf(x)),
+            ("Exp", torch.exp(x)),
+        ]:
+            b = GraphBuilder("x", (2, 8))
+            out = b.node(op, ["x"])[0]
+            (got,) = self._run(b.finish([out]), {"x": x.numpy()})
+            atol = 2e-2 if op == "HardSwish" else 1e-5  # ONNX hardswish uses 1/6 vs torch's exact
+            np.testing.assert_allclose(got, ref.numpy(), atol=atol)
+
+    def test_layernorm_and_reduce(self):
+        ln = nn.LayerNorm(10)
+        with torch.no_grad():
+            ln.weight.normal_()
+            ln.bias.normal_()
+        x = torch.randn(4, 10)
+        b = GraphBuilder("x", (4, 10))
+        out = b.node("LayerNormalization", ["x", b.init(ln.weight.detach().numpy(), "s"),
+                     b.init(ln.bias.detach().numpy(), "b")], axis=-1, epsilon=1e-5)[0]
+        red = b.node("ReduceMax", [out, b.init(np.asarray([1], np.int64), "ax")], keepdims=0)[0]
+        model = b.finish([out, red])
+        got_ln, got_red = self._run(model, {"x": x.numpy()})
+        with torch.no_grad():
+            want = ln(x).numpy()
+        np.testing.assert_allclose(got_ln, want, atol=1e-5)
+        np.testing.assert_allclose(got_red, want.max(axis=1), atol=1e-5)
+
+    def test_clip_and_constantofshape(self):
+        b = GraphBuilder("x", (3,))
+        c = b.node("ConstantOfShape", [b.init(np.asarray([3], np.int64), "shp")],
+                   value=np.asarray([2.5], np.float32))[0]
+        cl = b.node("Clip", ["x", b.init(np.asarray(-1.0, np.float32), "lo"),
+                    b.init(np.asarray(1.0, np.float32), "hi")])[0]
+        out = b.node("Add", [cl, c])[0]
+        (got,) = self._run(b.finish([out]), {"x": np.asarray([-5.0, 0.0, 5.0], np.float32)})
+        np.testing.assert_allclose(got, [1.5, 2.5, 3.5])
+
+    def test_unimplemented_op_fails_loudly(self):
+        from caliscope_tpu.exceptions import CalibrationError
+        from caliscope_tpu.pose.onnx_proto import save_model
+        from caliscope_tpu.pose.onnx_tracker import create_inference_session
+
+        b = GraphBuilder("x", (2, 2))
+        out = b.node("NonMaxSuppression", ["x"])[0]
+        model = b.finish([out])
+        import tempfile
+        from pathlib import Path
+
+        p = Path(tempfile.mkdtemp()) / "weird.onnx"
+        save_model(model, p)
+        with pytest.raises(CalibrationError, match="NonMaxSuppression"):
+            create_inference_session(p, engine="jax")
