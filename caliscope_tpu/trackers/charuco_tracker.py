@@ -200,14 +200,18 @@ class CharucoTracker(Tracker):
             snaps corners to the wrong grid neighbor (an off-by-one that
             corner geometry alone cannot detect)."""
             cols = self.charuco.inner_columns
-            spacing = np.full(len(expected), np.inf)
-            for k in range(len(expected)):
-                c, r = k % cols, k // cols
-                for nb in (k - 1 if c > 0 else -1, k + 1 if c + 1 < cols else -1,
-                           k - cols if r > 0 else -1, k + cols if k + cols < len(expected) else -1):
-                    if nb >= 0:
-                        spacing[k] = min(spacing[k], np.linalg.norm(expected[k] - expected[nb]))
-            return self.snap_radius_frac * spacing
+            n = len(expected)
+            grid = expected.reshape(-1, cols, 2)
+            spacing = np.full((grid.shape[0], cols), np.inf)
+            if cols > 1:
+                dh = np.linalg.norm(grid[:, 1:] - grid[:, :-1], axis=2)
+                spacing[:, 1:] = np.minimum(spacing[:, 1:], dh)
+                spacing[:, :-1] = np.minimum(spacing[:, :-1], dh)
+            if grid.shape[0] > 1:
+                dv = np.linalg.norm(grid[1:] - grid[:-1], axis=2)
+                spacing[1:] = np.minimum(spacing[1:], dv)
+                spacing[:-1] = np.minimum(spacing[:-1], dv)
+            return self.snap_radius_frac * spacing.reshape(n)
 
         def snap(expected, radii):
             d2 = np.sum((expected[:, None, :] - cand[None, :, :]) ** 2, axis=2)
