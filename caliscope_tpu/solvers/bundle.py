@@ -215,6 +215,21 @@ def initial_cam9(camera_array, cam_ids=None) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+
+def _pshard(x, mesh, *spec):
+    """Optional GSPMD sharding hint: constrain `x` to PartitionSpec(*spec)
+    over `mesh` (no-op without a mesh). Used to keep POINT-axis quantities
+    sharded inside the solver so the Schur coupling tensor G (C, P, 9, 3) is
+    produced by a reduce-scatter instead of a full all-reduce — at the
+    canonical scale that is a 30 MB collective per iteration replaced by
+    half the traffic plus a 72x72 all-reduce of the Schur complement."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+
 def _masked_blocks(problem: BAProblem, cam9, X, loss: str, f_scale: float):
     """Residuals, IRLS weights, Jacobian blocks and total robust cost."""
     r, Jc, Jp = observation_jacobian_blocks(
@@ -261,7 +276,7 @@ def _cost_only(problem: BAProblem, cam9, X, loss: str, f_scale: float):
     return cost_obs
 
 
-def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points):
+def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh=None):
     """g = J^T W r and diag(J^T W J).
 
     Camera-side reductions go through a one-hot matmul instead of
@@ -289,7 +304,7 @@ def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points):
         ],
         axis=1,
     )
-    gp_dp = jax.ops.segment_sum(payload, problem.pt_idx, n_points)
+    gp_dp = _pshard(jax.ops.segment_sum(payload, problem.pt_idx, n_points), mesh, "obs")
     g_p = gp_dp[:, :3]
     d_p = gp_dp[:, 3:].reshape(-1, 3, 3)
     if problem.n_constraints:
@@ -402,7 +417,7 @@ def _inv3x3(A):
     return rows * inv_det[..., None, None]
 
 
-def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam):
+def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
     """Build the damped Schur system over cameras.
 
     Reprojection structure: each observation couples ONE camera block (9) and
@@ -418,14 +433,14 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam):
     diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
     A_cc = d_c + jax.vmap(jnp.diag)(lam * diag_c + jnp.where(problem.param_free, 0.0, 1.0))
     Hpp = d_p + jax.vmap(jnp.diag)(lam * diag_p) + 1e-12 * jnp.eye(3, dtype=dt)
-    Hpp_inv = _inv3x3(Hpp)
+    Hpp_inv = _pshard(_inv3x3(Hpp), mesh, "obs")
 
     W_blocks = jnp.einsum("nij,ni,nik->njk", Jc, w, Jp)  # (N,9,3)
     # flat segment_sum instead of .at[].add: XLA's sorted-segment lowering is
     # ~4x faster than 2-D scatter-add for this shape on TPU
     seg = problem.cam_idx.astype(jnp.int32) * P + problem.pt_idx.astype(jnp.int32)
     G = jax.ops.segment_sum(W_blocks.reshape(-1, N_CAM_PARAMS * 3), seg, C * P)
-    G = G.reshape(C, P, N_CAM_PARAMS, 3)
+    G = _pshard(G.reshape(C, P, N_CAM_PARAMS, 3), mesh, None, "obs")
     Y = jnp.einsum("cpij,pjk->cpik", G, Hpp_inv)  # (C,P,9,3)
     S = -jnp.einsum("cpik,dpjk->cidj", Y, G)  # (C,9,C,9)
     S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(A_cc)
@@ -445,13 +460,13 @@ def _schur_apply(S_cho, G, Y, Hpp_inv, free_c, bc, bp):
     return dxc, dxp
 
 
-def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter):
+def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh=None):
     """Schur-eliminated solve: exact for the (damped) reprojection system;
     with constraint rows present the Schur solve becomes the preconditioner
     of a short CG on the full system (constraints couple points to points,
     breaking the block-diagonal Hpp — but only as a low-rank-ish correction,
     so CG converges in a handful of iterations)."""
-    factors = _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam)
+    factors = _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh)
     S_cho, G, Y, Hpp_inv, free_c = factors
     if problem.n_constraints == 0:
         return _schur_apply(S_cho, G, Y, Hpp_inv, free_c, -g_c, -g_p)
@@ -580,7 +595,7 @@ class BAResult:
     n_devices: int = 1  # devices the observation axis was sharded over
 
 
-def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, solver_kind, cg_tol, cg_max_iter, init_lambda):
+def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, solver_kind, cg_tol, cg_max_iter, init_lambda, mesh=None):
     n_points = X0.shape[0]
     dt = cam9_0.dtype
     cost0 = _cost_only(problem, cam9_0, X0, loss, f_scale)
@@ -591,13 +606,13 @@ def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, 
     def step(state):
         cam9, X, lam, cost, it, done, gnorm = state
         r, w, Jc, Jp, rq, qidx, Jq, _ = _masked_blocks(problem, cam9, X, loss, f_scale)
-        g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points)
+        g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh)
         gnorm_new = jnp.maximum(jnp.max(jnp.abs(g_c * problem.param_free)), jnp.max(jnp.abs(g_p)))
 
         if solver_kind == "dense":
             dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam)
         elif solver_kind == "schur":
-            dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
+            dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
         else:
             dxc, dxp = _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
 
@@ -653,7 +668,7 @@ _lm_run = partial(
     jax.jit,
     static_argnames=(
         "loss", "f_scale", "max_iter", "ftol", "xtol", "gtol",
-        "solver_kind", "cg_tol", "cg_max_iter", "init_lambda",
+        "solver_kind", "cg_tol", "cg_max_iter", "init_lambda", "mesh",
     ),
 )(_lm_run_impl)
 
@@ -748,6 +763,7 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
         cg_tol=config.cg_tol,
         cg_max_iter=config.cg_max_iter,
         init_lambda=config.init_lambda,
+        mesh=mesh,
     )
     if config.bake_problem:
         # cache the baked executable ON the problem instance (lifetime-tied:
