@@ -81,6 +81,9 @@ class MainWindow(QMainWindow):
         self._rebuild_recent_menu()
         self.exit_action = file_menu.addAction("Exit")
         self.exit_action.triggered.connect(self._quit)
+        tools_menu = self.menuBar().addMenu("Tools")
+        self.models_action = tools_menu.addAction("Pose models…")
+        self.models_action.triggered.connect(self.show_model_dialog)
 
     def _rebuild_recent_menu(self) -> None:
         # headless QMenu has no removeAction loop; rebuild is idempotent
@@ -88,6 +91,12 @@ class MainWindow(QMainWindow):
         for p in self.recent_projects():
             a = self.recent_menu.addAction(p)
             a.triggered.connect(lambda path=p: self.launch_workspace(Path(path)))
+
+    def show_model_dialog(self) -> None:
+        from caliscope_tpu.gui.widgets import ModelDownloadDialog
+
+        self.model_dialog = ModelDownloadDialog()
+        self.model_dialog.exec()
 
     def _quit(self) -> None:
         app = QApplication.instance()

@@ -1,6 +1,7 @@
 from caliscope_tpu.gui.widgets.config_panels import ArucoSetPanel, CharucoConfigPanel, ChessboardConfigPanel
 from caliscope_tpu.gui.widgets.coverage_heatmap import CoverageHeatmapWidget
 from caliscope_tpu.gui.widgets.lens_model import LensModelWidget
+from caliscope_tpu.gui.widgets.model_download import ModelDownloadDialog
 from caliscope_tpu.gui.widgets.log_dock import LogDock
 from caliscope_tpu.gui.widgets.playback_3d import Playback3DWidget
 from caliscope_tpu.gui.widgets.quality_tabs import CalibrationQualityTabs
@@ -16,6 +17,7 @@ __all__ = [
     "ChessboardConfigPanel",
     "CoverageHeatmapWidget",
     "LensModelWidget",
+    "ModelDownloadDialog",
     "LogDock",
     "Playback3DWidget",
     "StructuralWarningsWidget",

@@ -426,3 +426,27 @@ class TestExplorer:
         from caliscope_tpu.gui.main_window import MainWindow
 
         return MainWindow(workspace_dir=workspace.root, settings_path=tmp_path / "s.toml")
+
+
+class TestModelDialog:
+    def test_lists_cards_and_reports_offline_failure(self, app, tmp_path):
+        from caliscope_tpu.gui.widgets import ModelDownloadDialog
+
+        dlg = ModelDownloadDialog(models_dir=tmp_path)
+        assert dlg.table.rowCount() == 7  # all shipped RTMPose cards
+        statuses = {dlg.table.item(i, 4).text() for i in range(7)}
+        assert statuses == {"not downloaded"}
+        # offline: the download must fail loudly, not hang
+        dlg.table.setCurrentCell(0, 0)
+        dlg.download_btn.click()
+        pump(app, until=lambda: "failed" in dlg.status.text() or "Saved" in dlg.status.text(), timeout=120)
+        assert "failed" in dlg.status.text()
+        assert dlg.download_btn.isEnabled()
+
+    def test_existing_model_shows_downloaded(self, app, tmp_path):
+        from caliscope_tpu.gui.widgets import ModelDownloadDialog
+
+        (tmp_path / "rtmpose_t_halpe26.onnx").write_bytes(b"stub")
+        dlg = ModelDownloadDialog(models_dir=tmp_path)
+        by_name = {dlg.table.item(i, 0).text(): dlg.table.item(i, 4).text() for i in range(dlg.table.rowCount())}
+        assert by_name["RTMPose-t Halpe26"] == "downloaded"
