@@ -96,6 +96,38 @@ def _auto_progress(progress):
     return progress
 
 
+EXTRACT_BATCH = int(os.environ.get("CALISCOPE_EXTRACT_BATCH", 16))
+
+
+def _iter_tracked_batched(src, tracker, cam_id: int, rotation_count: int, batch: int = EXTRACT_BATCH):
+    """Yield (FramePacket, PointPacket) pulling `batch` frames at a time
+    through tracker.get_points_batch.
+
+    Device-batched trackers (the TPU detection kernels) run each chunk as
+    ONE device program — per-frame get_points pays the full dispatch round
+    trip per frame, which dominates real extraction through the tunneled
+    chip. Short final chunks are padded by repeating the last frame so the
+    device program keeps ONE compiled shape (a 7-frame tail would otherwise
+    trigger a fresh multi-minute XLA compile)."""
+    buf = []
+
+    def flush():
+        frames = [r.frame for r in buf]
+        n = len(frames)
+        if n < batch:
+            frames = frames + [frames[-1]] * (batch - n)
+        pkts = tracker.get_points_batch(np.stack(frames), cam_id=cam_id, rotation_count=rotation_count)
+        return list(zip(buf, pkts[:n]))
+
+    for raw in src:
+        buf.append(raw)
+        if len(buf) >= batch:
+            yield from flush()
+            buf = []
+    if buf:
+        yield from flush()
+
+
 def _packet_rows(sync_index, cam_id, frame_time, pkt) -> Optional[dict]:
     n = len(pkt.keypoint_id)
     if n == 0:
@@ -157,8 +189,7 @@ def extract_image_points(
         rows: list[dict] = []
         with FrameSource(video_path, cam_id, wanted_indices=wanted, pixel_format=tracker.pixel_format) as src:
             i = 0
-            for raw in src:
-                pkt = tracker.get_points(raw.frame, cam_id=cam_id, rotation_count=rotation_count)
+            for raw, pkt in _iter_tracked_batched(src, tracker, cam_id, rotation_count):
                 row = _packet_rows(raw.frame_index, cam_id, raw.frame_time, pkt)
                 if row is not None:
                     rows.append(row)
@@ -225,8 +256,7 @@ def extract_image_points_multicam(
             prog.on_video_start(cam_id, len(work))
             with FrameSource(path, cam_id, wanted_indices=set(sync_for), pixel_format=tracker.pixel_format) as src:
                 processed = 0
-                for raw in src:
-                    pkt = tracker.get_points(raw.frame, cam_id=cam_id, rotation_count=rotations.get(cam_id, 0))
+                for raw, pkt in _iter_tracked_batched(src, tracker, cam_id, rotations.get(cam_id, 0)):
                     si = sync_for[raw.frame_index]
                     ft = synced.time_for(cam_id, raw.frame_index)
                     row = _packet_rows(si, cam_id, ft, pkt)
