@@ -79,17 +79,26 @@ def process_synchronized_recording(
             wanted_indices=set(frame_to_sync),
             pixel_format=tracker.pixel_format,
         )
+        cam = cameras.get(cid)
+        rot = cam.rotation_count if cam is not None else 0
+        from caliscope_tpu.api import _iter_tracked_batched
+
         try:
-            while True:
-                if token is not None and token.is_cancelled:
-                    break
-                raw = src.next_frame()
-                if raw is None:
-                    break
+            # chunk frames through the tracker's batched hook: one device
+            # program per chunk for device-batched trackers (same rationale
+            # as api._iter_tracked_batched). The queue bounds memory; the
+            # consumer still sees strictly per-frame, sync-ordered items.
+            def cancellable_frames():
+                while True:
+                    if token is not None and token.is_cancelled:
+                        return
+                    raw = src.next_frame()
+                    if raw is None:
+                        return
+                    yield raw
+
+            for raw, pts in _iter_tracked_batched(cancellable_frames(), tracker, cid, rot):
                 si = frame_to_sync[raw.frame_index]
-                cam = cameras.get(cid)
-                rot = cam.rotation_count if cam is not None else 0
-                pts = tracker.get_points(raw.frame, cid, rot)
                 q.put((si, FrameData(raw.frame, pts, raw.frame_index)))
         finally:
             src.close()
