@@ -154,3 +154,44 @@ class TestRepositories:
         assert reports.load(2) == rep
         assert reports.load_all() == {2: rep}
         assert reports.delete(2) and reports.load(2) is None
+
+
+class TestVerticalLiveInference:
+    def test_estimate_vertical_executes_through_jax_onnx(self, tmp_path):
+        """The FULL vertical path — video sampling -> ONNX inference (JAX
+        executor) -> gravity fits -> per-camera up vectors — executes live
+        with a surrogate perspective-field network (constant upward field =
+        camera level, gravity along -y in camera coords)."""
+        cv2 = pytest.importorskip("cv2")
+        import numpy as np
+
+        from caliscope_tpu.estimators import vertical as V
+        from caliscope_tpu.pose.onnx_proto import save_model
+        from caliscope_tpu.pose.torch_onnx import GraphBuilder
+
+        # surrogate: 1x1 conv, zero weights, bias = (0, -1) -> uniform
+        # up-field pointing to -y (image up) at every pixel
+        b = GraphBuilder("input", (1, 3, 240, 320))
+        w = np.zeros((2, 3, 1, 1), np.float32)
+        bias = np.asarray([0.0, -1.0], np.float32)
+        out = b.node("Conv", ["input", b.init(w, "w"), b.init(bias, "b")],
+                     kernel_shape=[1, 1], strides=[1, 1], pads=[0, 0, 0, 0])[0]
+        model = b.finish([out])
+        models_dir = tmp_path / "models"
+        models_dir.mkdir()
+        save_model(model, models_dir / V.GEOCALIB_FILENAME)
+
+        video = tmp_path / "cam_0.mp4"
+        vw = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (128, 96))
+        rng = np.random.default_rng(0)
+        for _ in range(8):
+            vw.write(rng.integers(0, 255, (96, 128, 3)).astype(np.uint8))
+        vw.release()
+
+        K = np.array([[120.0, 0, 64.0], [0, 120.0, 48.0], [0, 0, 1.0]])
+        est = V.estimate_vertical({0: video}, {0: K}, models_dir, n_sample_frames=3)
+        assert 0 in est.up_by_camera
+        up = est.up_by_camera[0]
+        # a uniform image up-field (0,-1) = a level camera; the solver's
+        # camera-frame 'up' convention for that is +y (dominant component)
+        assert up[1] > 0.7 and abs(up[0]) < 0.3 and abs(up[2]) < 0.3, up
