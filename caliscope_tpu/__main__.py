@@ -17,8 +17,19 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import sys
+import tempfile
 from pathlib import Path
+
+# Crash forensics surviving hard faults (segfault in a native decode or the
+# TPU runtime): tracebacks of all threads land in a temp file the way the
+# reference arranges it (reference __main__.py:9-15).
+_crash_log = Path(tempfile.gettempdir()) / "caliscope_tpu_crash.log"
+try:
+    faulthandler.enable(open(_crash_log, "w"))
+except OSError:  # read-only tmp: crash logging is best-effort
+    pass
 
 
 def main(argv=None) -> int:

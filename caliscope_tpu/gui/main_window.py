@@ -1,8 +1,8 @@
-"""Main window: welcome screen -> 5-tab project workspace.
+"""Main window: welcome screen -> 6-tab project workspace.
 
 Parity: reference gui/main_widget.py — welcome widget with recent projects,
 menu bar (File: open / recent / exit), the Project / Intrinsics / Extract /
-Extrinsics / Reconstruct tab flow with per-status tab enabling, a docked
+Extrinsics / Reconstruct / Explorer tab flow with per-status tab enabling, a docked
 live log, filesystem watching (WorkspaceWatcher -> refresh), and graceful
 teardown of background resources on close.
 
