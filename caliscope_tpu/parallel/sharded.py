@@ -88,4 +88,4 @@ def sharded_lm_iteration(problem: BAProblem, cam9, X, lam, mesh: Mesh, **kwargs)
     cam9 = jax.device_put(np.asarray(cam9), rep)
     X = jax.device_put(np.asarray(X), rep)
     lam = jax.device_put(np.asarray(lam), rep)
-    return lm_iteration(problem, cam9, X, lam, **kwargs)
+    return lm_iteration(problem, cam9, X, lam, mesh=mesh, **kwargs)

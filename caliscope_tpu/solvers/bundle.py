@@ -792,7 +792,7 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
     )
 
 
-@partial(jax.jit, static_argnames=("loss", "f_scale", "use_dense", "solver", "cg_tol", "cg_max_iter"))
+@partial(jax.jit, static_argnames=("loss", "f_scale", "use_dense", "solver", "cg_tol", "cg_max_iter", "mesh"))
 def lm_iteration(
     problem: BAProblem,
     cam9,
@@ -805,6 +805,7 @@ def lm_iteration(
     solver: str = "schur",  # 'schur' | 'dense' | 'cg'
     cg_tol: float = 1e-6,
     cg_max_iter: int = 200,
+    mesh=None,
 ):
     """One full Levenberg-Marquardt iteration (assembly + linear solve +
     gain-ratio damping update) as a standalone jittable step.
@@ -818,12 +819,12 @@ def lm_iteration(
     """
     n_points = X.shape[0]
     r, w, Jc, Jp, rq, qidx, Jq, cost = _masked_blocks(problem, cam9, X, loss, f_scale)
-    g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points)
+    g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh)
     kind = "dense" if use_dense else solver
     if kind == "dense":
         dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam)
     elif kind == "schur":
-        dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
+        dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
     else:
         dxc, dxp = _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
     cam9_new, X_new = cam9 + dxc, X + dxp
