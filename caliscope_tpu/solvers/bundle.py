@@ -460,6 +460,87 @@ def _schur_apply(S_cho, G, Y, Hpp_inv, free_c, bc, bp):
     return dxc, dxp
 
 
+
+def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, mesh=None):
+    """Implicit (matrix-free) Schur-complement CG on the REDUCED camera
+    system: solve S dxc = b with S = A - G Hpp^-1 G^T, where every S-product
+    is two passes over the observation axis — the coupling tensor G
+    (C, P, 9, 3) is never materialized.
+
+    This removes the explicit Schur solver's C*P memory ceiling (1 GiB at
+    ~8 cams x 4M points) while converging like Schur, not like full-system
+    CG: the reduced system is 9C-dimensional with an exact per-camera block
+    preconditioner, so a handful of iterations suffice (the full-system CG
+    at the canonical scale costs 17x the explicit Schur solve; this path
+    costs ~2 matvecs-worth more). Reprojection-only (block-diagonal Hpp);
+    constrained problems keep the explicit-Schur / full-CG paths.
+    """
+    C = problem.n_cameras
+    dt = g_c.dtype
+    free_c = problem.param_free.astype(dt)
+    diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
+    diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
+    A_cc = d_c + jax.vmap(jnp.diag)(lam * diag_c + jnp.where(problem.param_free, 0.0, 1.0))
+    Hpp = d_p + jax.vmap(jnp.diag)(lam * diag_p) + 1e-12 * jnp.eye(3, dtype=dt)
+    Hpp_inv = _pshard(_inv3x3(Hpp), mesh, "obs")
+    A_inv = jnp.linalg.inv(A_cc)  # (C,9,9) exact block preconditioner
+    P_pts = g_p.shape[0]
+
+    def G_T(vc):
+        """G^T v: (C,9) -> (P,3), one obs pass."""
+        t = w * jnp.einsum("nij,nj->ni", Jc, vc[problem.cam_idx])  # (N,2)
+        u = jax.ops.segment_sum(jnp.einsum("nij,ni->nj", Jp, t), problem.pt_idx, P_pts)
+        return _pshard(u, mesh, "obs")
+
+    def G(vp):
+        """G v: (P,3) -> (C,9), one obs pass (one-hot matmul on the tiny
+        camera axis, same rationale as _gradient_and_diag)."""
+        a = w * jnp.einsum("nij,nj->ni", Jp, vp[problem.pt_idx])  # (N,2)
+        Oc = jax.nn.one_hot(problem.cam_idx, C, dtype=dt)  # (N,C)
+        return Oc.T @ jnp.einsum("nij,ni->nj", Jc, a)
+
+    def S_mv(vc):
+        zp = jnp.einsum("pij,pj->pi", Hpp_inv, G_T(vc))
+        return jnp.einsum("cij,cj->ci", A_cc, vc) - G(zp)
+
+    zp0 = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
+    b = -g_c + G(zp0)
+    b = b * free_c
+
+    def M_inv(r):
+        return jnp.einsum("cij,cj->ci", A_inv, r)
+
+    def dot(a, bb):
+        return jnp.sum(a * bb)
+
+    x = jnp.zeros_like(g_c)
+    r = b
+    z = M_inv(r)
+    p = z
+    rz = dot(r, z)
+    b_norm2 = dot(b, b)
+
+    def cond(state):
+        _x, r, _p, _rz, it = state
+        return jnp.logical_and(it < max_iter, dot(r, r) > (tol**2) * b_norm2)
+
+    def body(state):
+        x, r, p, rz, it = state
+        Sp = S_mv(p) * free_c + (1.0 - free_c) * p
+        alpha = rz / jnp.maximum(dot(p, Sp), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = M_inv(r)
+        rz_new = dot(r, z)
+        p = z + rz_new / jnp.maximum(rz, 1e-30) * p
+        return x, r, p, rz_new, it + 1
+
+    x, _r, _p, _rz, _it = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
+    dxc = x * free_c
+    dxp = jnp.einsum("pij,pj->pi", Hpp_inv, -g_p - G_T(dxc))
+    return dxc, dxp
+
+
 def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh=None):
     """Schur-eliminated solve: exact for the (damped) reprojection system;
     with constraint rows present the Schur solve becomes the preconditioner
@@ -613,6 +694,8 @@ def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, 
             dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam)
         elif solver_kind == "schur":
             dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
+        elif solver_kind == "schur_cg":
+            dxc, dxp = _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
         else:
             dxc, dxp = _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
 
@@ -710,6 +793,12 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
     P = int(np.asarray(X0).shape[0])
     dim = N_CAM_PARAMS * C + 3 * P
 
+    if config.solver == "schur_cg" and problem.n_constraints:
+        raise ValueError(
+            "solver='schur_cg' is reprojection-only (constraints couple points "
+            "and break the block-diagonal Hpp elimination); use 'schur', 'cg', "
+            "or 'auto'."
+        )
     mesh = _resolve_mesh(problem, config, mesh)
     if mesh is not None:
         from caliscope_tpu.parallel.sharded import shard_problem
@@ -727,10 +816,17 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
         solver_kind = "dense"
     else:
         # Schur elimination materializes two (C, P, 9, 3) edge tensors; use it
-        # whenever that fits comfortably, else fall back to matrix-free CG
+        # whenever that fits comfortably. Past the memory ceiling, the
+        # IMPLICIT Schur CG (matrix-free reduced camera system) keeps
+        # Schur-class convergence at any problem size; constrained problems
+        # (point-point coupling breaks block-diagonal Hpp) fall back to
+        # full-system CG.
         itemsize = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype).itemsize
         schur_bytes = 2 * C * P * N_CAM_PARAMS * 3 * itemsize
-        solver_kind = "schur" if schur_bytes <= 1 << 30 else "cg"
+        if schur_bytes <= 1 << 30:
+            solver_kind = "schur"
+        else:
+            solver_kind = "schur_cg" if problem.n_constraints == 0 else "cg"
 
     lb = np.full((C, N_CAM_PARAMS), -BIG)
     ub = np.full((C, N_CAM_PARAMS), BIG)
@@ -825,6 +921,8 @@ def lm_iteration(
         dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam)
     elif kind == "schur":
         dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
+    elif kind == "schur_cg":
+        dxc, dxp = _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
     else:
         dxc, dxp = _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
     cam9_new, X_new = cam9 + dxc, X + dxp

@@ -231,3 +231,44 @@ class TestConstraints:
         # the Schur path (preconditioned CG when constraints present) agrees
         res_s = lm_solve(problem, cam9, X0, BAConfig(max_iter=60, solver="schur"))
         assert res_s.cost_final == pytest.approx(res.cost_final, rel=1e-5)
+
+
+class TestImplicitSchur:
+    def test_schur_cg_matches_explicit_schur(self, rng):
+        """The G-free reduced-system CG must land on the same step/optimum
+        as the explicit Schur elimination (unconstrained problems)."""
+        scene, ip, views, cam_idx, pt_idx, X0, _p = _scene_problem(noise=0.4)
+        problem = make_problem(cam_idx, pt_idx, ip.img_xy, views.K, views.dist, views.fisheye)
+        cam9 = initial_cam9(scene.cameras)
+        cam9 = cam9 + rng.normal(scale=0.01, size=cam9.shape)
+        cfg = dict(max_iter=25, ftol=1e-12, gtol=0.0)
+        # single-step equivalence (tight): the same damped system solved two ways
+        import jax.numpy as jnp
+
+        from caliscope_tpu.solvers.bundle import lm_iteration
+
+        lam = jnp.asarray(1e-4, problem.uv.dtype)
+        c_s, X_s, _l, cost_s, _a = lm_iteration(problem, jnp.asarray(cam9), jnp.asarray(X0), lam, solver="schur")
+        c_i, X_i, _l, cost_i, _a = lm_iteration(problem, jnp.asarray(cam9), jnp.asarray(X0), lam, solver="schur_cg", cg_max_iter=100, cg_tol=1e-10)
+        np.testing.assert_allclose(np.asarray(c_i), np.asarray(c_s), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(X_i), np.asarray(X_s), atol=2e-6)
+        assert float(cost_i) == pytest.approx(float(cost_s), rel=1e-6)
+
+        # full-solve: same optimum cost (X may drift within the gauge freedom)
+        res_schur = lm_solve(problem, cam9, X0, BAConfig(solver="schur", **cfg))
+        res_icg = lm_solve(problem, cam9, X0, BAConfig(solver="schur_cg", cg_max_iter=60, **cfg))
+        assert res_icg.cost_final == pytest.approx(res_schur.cost_final, rel=1e-6)
+
+    def test_schur_cg_rejects_constraints(self, rng):
+        scene, ip, views, cam_idx, pt_idx, X0, _p = _scene_problem(noise=0.4)
+        con = (
+            np.zeros((1, 4), np.int32), np.array([[1.0, 0, 0, 0]]),
+            np.ones((1, 4), np.int32), np.array([[1.0, 0, 0, 0]]),
+            np.array([0.05]), np.array([10.0]),
+        )
+        problem = make_problem(
+            cam_idx, pt_idx, ip.img_xy, views.K, views.dist, views.fisheye, constraints=con
+        )
+        cam9 = initial_cam9(scene.cameras)
+        with pytest.raises(ValueError, match="schur_cg"):
+            lm_solve(problem, cam9, X0, BAConfig(solver="schur_cg"))
