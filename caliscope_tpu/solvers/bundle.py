@@ -11,13 +11,19 @@ This module reaches the same optima with a fundamentally different engine:
   equivalent to scipy's loss-transformed least squares at the optimum.
 - Box bounds: projected LM steps (bounds only bind on the free-intrinsics
   block s/k1/k2, reference bundle_parameterization.py:151-164).
-- Normal equations, two interchangeable linear solvers:
-    * 'dense'  — assemble the full (9C+3P) system, Cholesky. Exact; right for
-      calibration-sized problems (P up to a few thousand).
-    * 'cg'     — matrix-free preconditioned CG on segment-sum H-products.
-      Scales to millions of observations; the observation axis may be
-      jax.sharding-sharded across a device mesh, in which case XLA turns the
-      segment sums into psums over ICI (no hand-written collectives needed).
+- Normal equations, four interchangeable linear solvers:
+    * 'dense'    — assemble the full (9C+3P) system, Cholesky. Exact; right
+      for calibration-sized problems (P up to a few thousand).
+    * 'schur'    — explicit Schur elimination of the points (classic SBA);
+      the workhorse at real-session scale.
+    * 'schur_cg' — implicit Schur: CG on the reduced camera system with
+      matrix-free S-products; no (C, P, 9, 3) coupling tensor, so it scales
+      past the explicit solver's memory ceiling (reprojection-only).
+    * 'cg'       — matrix-free preconditioned CG on the FULL system; the
+      constrained-problem fallback at scale.
+  The observation axis may be jax.sharding-sharded across a device mesh, in
+  which case XLA turns the segment sums into psums/reduce-scatters over ICI
+  (no hand-written collectives needed) and point-axis work shards too.
 - The entire LM loop (assembly, solve, gain-ratio damping control) runs as one
   lax.while_loop under jit: zero host<->device ping-pong per iteration.
 
@@ -61,7 +67,7 @@ class BAConfig:
     ftol: float = 1e-8
     xtol: float = 1e-10
     gtol: float = 1e-12
-    solver: str = "auto"  # 'auto' | 'dense' | 'schur' | 'cg'
+    solver: str = "auto"  # 'auto' | 'dense' | 'schur' | 'schur_cg' | 'cg'
     cg_tol: float = 1e-6
     cg_max_iter: int = 200
     init_lambda: float = 1e-4
