@@ -430,8 +430,34 @@ class _section_guard:
         return False
 
 
+def _device_healthy(timeout_s: int = 180) -> bool:
+    """Probe the default device with a trivial op IN A SUBPROCESS under a
+    timeout. The tunneled TPU's compile service has been observed to wedge
+    for hours (even x.sum() on a device array hangs); probing out-of-process
+    keeps this interpreter's JAX backend uninitialized so it can still fall
+    back to CPU cleanly."""
+    import subprocess
+    import sys as _sys
+
+    code = "import jax, jax.numpy as jnp; assert float(jnp.ones(8).sum()) == 8.0; print('ok')"
+    try:
+        out = subprocess.run(
+            [_sys.executable, "-c", code], timeout=timeout_s, capture_output=True, text=True
+        )
+        return out.returncode == 0 and "ok" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     only = os.environ.get("CALISCOPE_BENCH_ONLY", "").split(",") if os.environ.get("CALISCOPE_BENCH_ONLY") else None
+
+    if not _device_healthy():
+        _log("DEFAULT DEVICE UNREACHABLE (wedged tunnel/compile service?); forcing CPU — "
+             "TPU-named metrics below are CPU-fallback measurements")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     def want(name):
         return only is None or name in only
