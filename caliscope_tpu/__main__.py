@@ -64,6 +64,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("gui", help="launch the GUI (PySide6 if installed, headless-Qt otherwise)")
     p.add_argument("workspace", type=Path, nargs="?", default=None)
 
+    p = sub.add_parser("export-board", help="write the workspace's calibration board as a printable PNG")
+    p.add_argument("workspace", type=Path)
+    p.add_argument("out", type=Path)
+    p.add_argument("--mirror", action="store_true", help="mirrored face (two-sided boards)")
+    p.add_argument("--px-per-square", type=int, default=300)
+
     args = parser.parse_args(argv)
 
     if args.command == "gui":
@@ -82,6 +88,12 @@ def main(argv=None) -> int:
         return 0
 
     ws = Workspace(args.workspace)
+
+    if args.command == "export-board":
+        ch = ws.targets.load_intrinsic_charuco()
+        ch.save_image(args.out, px_per_square=args.px_per_square, mirror=args.mirror)
+        print(f"Wrote {args.out}")
+        return 0
 
     if args.command == "status":
         st = ws.get_workflow_status()

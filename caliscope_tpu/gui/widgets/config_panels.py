@@ -88,6 +88,9 @@ class CharucoConfigPanel(QWidget):
         self.apply_btn = QPushButton("Apply")
         self.apply_btn.clicked.connect(self._apply)
         layout.addWidget(self.apply_btn)
+        self.save_btn = QPushButton("Save printable PNG…")
+        self.save_btn.clicked.connect(self._save_png)
+        layout.addWidget(self.save_btn)
         layout.addStretch(1)
         self._charuco = charuco
         self._render_preview(charuco)
@@ -123,6 +126,14 @@ class CharucoConfigPanel(QWidget):
         self.error_label.setText("")
         self._charuco = ch
         self.target_changed.emit(ch)
+
+    def _save_png(self) -> None:
+        from caliscope_tpu.gui.qt import QFileDialog
+
+        path, _f = QFileDialog.getSaveFileName(self, "Save ChArUco board", "charuco_board.png", "PNG Files (*.png)")
+        if path:
+            self._charuco.save_image(path)
+            self.error_label.setText(f"Saved {path}")
 
 
 class ChessboardConfigPanel(QWidget):

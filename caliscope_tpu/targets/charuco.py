@@ -230,6 +230,20 @@ class Charuco:
         return edges
 
     # ---- rendering ----------------------------------------------------------
+    def save_image(self, path, px_per_square: int = 300, mirror: bool = False) -> None:
+        """Write the printable board as a PNG (reference charuco.py:275
+        save_image / save_mirror_image — high-resolution print export).
+        PIL carries the encode, so no OpenCV dependency."""
+        from PIL import Image
+
+        img = self.board_image(px_per_square=px_per_square)
+        if mirror:
+            img = img[:, ::-1]
+        Image.fromarray(np.ascontiguousarray(img)).save(str(path))
+
+    def save_mirror_image(self, path, px_per_square: int = 300) -> None:
+        self.save_image(path, px_per_square=px_per_square, mirror=True)
+
     def board_image(self, px_per_square: int = 120, margin_squares: float = 0.5) -> "np.ndarray":
         """Render the printable board as a uint8 grayscale image (pure numpy,
         using the embedded dictionary bit patterns — reference charuco.py:239

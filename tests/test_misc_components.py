@@ -123,3 +123,29 @@ class TestCLI:
             )
             assert r.returncode == 0, r.stderr
         assert (env_ws / "calibration" / "targets" / "config.toml").exists()
+
+
+class TestBoardExport:
+    def test_save_image_round_trips(self, tmp_path):
+        from PIL import Image
+
+        from caliscope_tpu.targets import Charuco
+
+        ch = Charuco(rows=4, columns=5, square_size_m=0.05)
+        out = tmp_path / "board.png"
+        ch.save_image(out, px_per_square=40)
+        back = np.asarray(Image.open(out))
+        np.testing.assert_array_equal(back, ch.board_image(px_per_square=40))
+        mirrored = tmp_path / "mirror.png"
+        ch.save_mirror_image(mirrored, px_per_square=40)
+        back_m = np.asarray(Image.open(mirrored))
+        np.testing.assert_array_equal(back_m, ch.board_image(px_per_square=40)[:, ::-1])
+
+    def test_cli_export_board(self, tmp_path):
+        from caliscope_tpu.__main__ import main as cli_main
+
+        ws_dir = tmp_path / "ws"
+        assert cli_main(["init", str(ws_dir)]) == 0
+        out = tmp_path / "board.png"
+        assert cli_main(["export-board", str(ws_dir), str(out)]) == 0
+        assert out.exists() and out.stat().st_size > 1000
