@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from caliscope_tpu.detect.kernels import bilinear_sample
 
 
 def _ring_offsets(radius: float, n: int = 16) -> np.ndarray:
@@ -114,10 +113,6 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
     pad = reach + 1
     padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
     Hp, Wp = H + 2 * pad, W + 2 * pad
-
-    d = jnp.arange(-win, win + 1, dtype=jnp.float32)
-    wx, wy = jnp.meshgrid(d, d, indexing="xy")
-    gauss = jnp.exp(-(wx**2 + wy**2) / (2.0 * (win / 1.5) ** 2))
 
     sigma2 = 2.0 * (win / 1.5) ** 2
     pxw = jnp.arange(WIN, dtype=jnp.float32)[None, :] + jnp.zeros((WIN, 1), jnp.float32)

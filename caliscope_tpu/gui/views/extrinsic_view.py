@@ -14,7 +14,6 @@ from caliscope_tpu.gui.bridge import SignalBridge
 from caliscope_tpu.gui.qt import (
     QCheckBox,
     QComboBox,
-    QDoubleSpinBox,
     QGridLayout,
     QGroupBox,
     QHBoxLayout,

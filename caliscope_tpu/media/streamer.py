@@ -17,7 +17,7 @@ from queue import Full, Queue
 from typing import Optional
 
 from caliscope_tpu.media.video import FrameSource, read_video_properties
-from caliscope_tpu.packets import FramePacket, PixelFormat, TrackedFrame
+from caliscope_tpu.packets import PixelFormat, TrackedFrame
 from caliscope_tpu.tracker import Tracker
 
 logger = logging.getLogger(__name__)
