@@ -407,24 +407,31 @@ def quad_corners_from_mask(mask):
     *lead, P, _ = mask.shape
     xs = jnp.arange(P, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, xs, indexing="xy")
-    pts = jnp.stack([gx, gy], axis=-1).reshape(P * P, 2)
+
+    def argmax2d(val):
+        """(P, P) -> (x, y) of the max via per-row reduction then across
+        rows — two P-length argmaxes instead of one flat P^2 argmax with a
+        coordinate-table gather (TPU layouts favor the row-major staging)."""
+        rowmax = jnp.max(val, axis=1)
+        rowarg = jnp.argmax(val, axis=1)
+        r = jnp.argmax(rowmax)
+        return jnp.stack([rowarg[r].astype(jnp.float32), r.astype(jnp.float32)])
 
     def one(m):
-        w = m.reshape(P * P).astype(jnp.float32)
+        w = m.astype(jnp.float32)
         n = jnp.maximum(w.sum(), 1.0)
-        cen = (w[:, None] * pts).sum(0) / n
+        cen = jnp.stack([(w * gx).sum(), (w * gy).sum()]) / n
 
         def far_from(q):
-            d = jnp.sum((pts - q) ** 2, axis=1) * w - (1 - w) * 1e9
-            return pts[jnp.argmax(d)]
+            d = ((gx - q[0]) ** 2 + (gy - q[1]) ** 2) * w - (1 - w) * 1e9
+            return argmax2d(d)
 
         A = far_from(cen)
         Bc = far_from(A)
         ab = Bc - A
-        cross = (pts[:, 0] - A[0]) * ab[1] - (pts[:, 1] - A[1]) * ab[0]
-        cross = jnp.where(w > 0, cross, 0.0)
-        C = pts[jnp.argmax(cross)]
-        D = pts[jnp.argmin(cross)]
+        cross = jnp.where(m, (gx - A[0]) * ab[1] - (gy - A[1]) * ab[0], 0.0)
+        C = argmax2d(cross)
+        D = argmax2d(-cross)
         quad = jnp.stack([A, C, Bc, D])  # A-C-B-D walks around the hull
         # order counter-clockwise by angle around the centroid
         qcen = quad.mean(0)
