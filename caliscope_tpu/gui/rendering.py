@@ -34,10 +34,18 @@ CAMERA_COLORS = np.array(
 
 
 def to_qimage(rgb: np.ndarray) -> QImage:
-    """(H, W, 3) uint8 -> QImage (copies; the QImage owns its bytes)."""
+    """(H, W, 3) uint8 -> QImage (deep copy; the QImage owns its bytes).
+
+    Under real PySide6, QImage(buffer, ...) keeps a VIEW of the buffer —
+    handing it a temporary (tobytes()) leaves the image pointing at freed
+    memory. The explicit .copy() detaches it; the headless backend copies
+    in its constructor already."""
+    from caliscope_tpu.gui.qt import USING_PYSIDE6
+
     rgb = np.ascontiguousarray(rgb, np.uint8)
     h, w = rgb.shape[:2]
-    return QImage(rgb.tobytes(), w, h, 3 * w, QImage.Format_RGB888)
+    img = QImage(rgb.tobytes(), w, h, 3 * w, QImage.Format_RGB888)
+    return img.copy() if USING_PYSIDE6 else img
 
 
 def to_pixmap(rgb: np.ndarray) -> QPixmap:
