@@ -430,31 +430,29 @@ class _section_guard:
         return False
 
 
-def _device_healthy(timeout_s: int = 180) -> bool:
-    """Probe the default device with a trivial op IN A SUBPROCESS under a
-    timeout. The tunneled TPU's compile service has been observed to wedge
-    for hours (even x.sum() on a device array hangs); probing out-of-process
-    keeps this interpreter's JAX backend uninitialized so it can still fall
-    back to CPU cleanly."""
-    import subprocess
-    import sys as _sys
+def _load_device_probe():
+    """Import caliscope_tpu/device_probe.py WITHOUT the package __init__
+    (which imports jax — and jax must not be imported until the platform
+    env var is settled)."""
+    import importlib.util
 
-    code = "import jax, jax.numpy as jnp; assert float(jnp.ones(8).sum()) == 8.0; print('ok')"
-    try:
-        out = subprocess.run(
-            [_sys.executable, "-c", code], timeout=timeout_s, capture_output=True, text=True
-        )
-        return out.returncode == 0 and "ok" in out.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "caliscope_tpu", "device_probe.py")
+    spec = importlib.util.spec_from_file_location("_caliscope_device_probe", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def main():
     only = os.environ.get("CALISCOPE_BENCH_ONLY", "").split(",") if os.environ.get("CALISCOPE_BENCH_ONLY") else None
 
-    if not _device_healthy():
-        _log("DEFAULT DEVICE UNREACHABLE (wedged tunnel/compile service?); forcing CPU — "
-             "TPU-named metrics below are CPU-fallback measurements")
+    # The tunneled TPU plugin's registration name has changed across rounds
+    # (axon -> tpu) and its compile service can wedge for hours, so the
+    # ambient JAX_PLATFORMS cannot be trusted: probe candidates out of
+    # process and adopt the first that executes a real op, else pin CPU.
+    if not _load_device_probe().apply_resolved_platform(logger=_log):
+        _log("NO WORKING ACCELERATOR (wedged tunnel/compile service or renamed plugin); "
+             "forcing CPU — TPU-named metrics below are CPU-fallback measurements")
         import jax
 
         jax.config.update("jax_platforms", "cpu")

@@ -97,7 +97,7 @@ def chess_corner_response_pallas(images, radius: float = 4.0, interpret: bool = 
         ),
         out_shape=jax.ShapeDtypeStruct((B, H_tiles, W), jnp.float32),
         grid=(B, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, tile, W), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * halo, W), jnp.float32),
