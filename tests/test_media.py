@@ -73,6 +73,89 @@ class TestSyncAlgorithm:
         assert ft.start_frame_index == 0 and ft.last_frame_index == 4
 
 
+def _assigned_frames(st: SynchronizedTimestamps, cam_id: int) -> list[int]:
+    return [f for si in st.sync_indices if (f := st.frame_for(si, cam_id)) is not None]
+
+
+class TestSyncEdgeCases:
+    """Adversarial timing patterns (reference tests/test_synchronized_timestamps.py:
+    mixed rates, late starts, early ends, disjoint recordings, empty streams).
+    Exact groupings are algorithm-defined; these tests pin the INVARIANTS:
+    per-camera assignments strictly increase, no frame is used twice, and
+    well-separated groups never mix."""
+
+    def test_mixed_frame_rates(self):
+        # 30 fps vs 60 fps over the same span
+        st = _st({0: [i / 30 for i in range(10)], 1: [i / 60 for i in range(20)]})
+        a0, a1 = _assigned_frames(st, 0), _assigned_frames(st, 1)
+        assert a0 == sorted(set(a0)) and a1 == sorted(set(a1))
+        # the slow camera keeps every frame; the fast one at least its co-timed half
+        assert len(a0) == 10
+        assert len(a1) >= 10
+        # co-timed frames land in the same sync group
+        for si in st.sync_indices:
+            f0, f1 = st.frame_for(si, 0), st.frame_for(si, 1)
+            if f0 is not None and f1 is not None:
+                assert abs(st.time_for(0, f0) - st.time_for(1, f1)) < 1 / 60
+
+    def test_late_start_and_early_end(self):
+        st = _st({0: [i / 10 for i in range(10)], 1: [i / 10 + 0.3 for i in range(4)]})
+        # camera 1 absent from the head and tail sync groups
+        head = [st.frame_for(si, 1) for si in st.sync_indices[:3]]
+        tail = [st.frame_for(si, 1) for si in st.sync_indices[-3:]]
+        assert head == [None, None, None]
+        assert tail == [None, None, None]
+        assert len(_assigned_frames(st, 1)) == 4
+
+    def test_disjoint_recordings(self):
+        # The greedy forward pass has no absolute time gate, so ONE boundary
+        # group may bridge the epochs (the reference algorithm does the same);
+        # the bulk of each epoch must stay separate and nothing may be lost.
+        st = _st({0: [0.0, 0.1, 0.2], 1: [100.0, 100.1, 100.2]})
+        mixed = [
+            si
+            for si in st.sync_indices
+            if st.frame_for(si, 0) is not None and st.frame_for(si, 1) is not None
+        ]
+        assert len(mixed) <= 1
+        assert len(_assigned_frames(st, 0)) == 3
+        assert len(_assigned_frames(st, 1)) == 3
+
+    def test_empty_camera_stream(self):
+        st = _st({0: [0.0, 0.1, 0.2], 1: []})
+        assert len(st.sync_indices) == 3
+        assert all(st.frame_for(si, 1) is None for si in st.sync_indices)
+
+    def test_three_cameras_alternating_drops(self):
+        base = [i / 10 for i in range(8)]
+        st = _st({
+            0: base,
+            1: [t for i, t in enumerate(base) if i % 3 != 2],  # drops every 3rd
+            2: [t for i, t in enumerate(base) if i % 4 != 1],  # drops every 4th
+        })
+        # the full camera anchors every group; assignments stay monotonic
+        assert len(_assigned_frames(st, 0)) == 8
+        for cid in (1, 2):
+            a = _assigned_frames(st, cid)
+            assert a == sorted(set(a))
+        # grouped frames stay within ONE period of each other (when several
+        # cameras drop the same instant, a neighbor-period frame legitimately
+        # joins — the bound is a period, not half of one)
+        for si in st.sync_indices:
+            times = [
+                st.time_for(cid, f)
+                for cid in (0, 1, 2)
+                if (f := st.frame_for(si, cid)) is not None
+            ]
+            assert max(times) - min(times) < 0.101
+
+    def test_duplicate_timestamps_consumed_once_each(self):
+        st = _st({0: [0.0, 0.0, 0.1], 1: [0.0, 0.1]})
+        a0 = _assigned_frames(st, 0)
+        assert a0 == sorted(set(a0))
+        assert set(a0) <= {0, 1, 2}
+
+
 class TestFrameSource:
     @pytest.fixture
     def video(self, tmp_path):
