@@ -389,8 +389,14 @@ def profile_iteration(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
 
 
 def _emit(metric, value, unit, vs_baseline):
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "unknown"
     print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit,
-                      "vs_baseline": round(vs_baseline, 3)}), flush=True)
+                      "vs_baseline": round(vs_baseline, 3), "platform": platform}), flush=True)
 
 
 class _SectionTimeout(Exception):

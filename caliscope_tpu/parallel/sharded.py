@@ -45,11 +45,16 @@ def shard_problem(problem: BAProblem, mesh: Mesh, axis_name: str = OBS_AXIS) -> 
     N_pad = _pad_len(max(N, n_dev), n_dev)
     pad = N_pad - N
 
-    def pad_obs(a, fill=0):
+    def pad_obs(a, fill=0, fill_last=False):
         a = np.asarray(a)
         if pad == 0:
             return a
         widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        if fill_last and len(a):
+            # repeat the final row: keeps make_problem's sorted-by-(pt, cam)
+            # row invariant (the solver asserts indices_are_sorted to XLA)
+            # while obs_mask=False zeroes the padding's contribution
+            fill = a[-1]
         return np.pad(a, widths, constant_values=fill)
 
     obs_sharding = NamedSharding(mesh, P(axis_name))
@@ -63,8 +68,8 @@ def shard_problem(problem: BAProblem, mesh: Mesh, axis_name: str = OBS_AXIS) -> 
 
     return replace(
         problem,
-        cam_idx=put_obs(pad_obs(problem.cam_idx)),
-        pt_idx=put_obs(pad_obs(problem.pt_idx)),
+        cam_idx=put_obs(pad_obs(problem.cam_idx, fill_last=True)),
+        pt_idx=put_obs(pad_obs(problem.pt_idx, fill_last=True)),
         uv=put_obs(pad_obs(problem.uv)),
         obs_mask=put_obs(pad_obs(problem.obs_mask, fill=False)),
         K0=put_rep(problem.K0),

@@ -159,10 +159,26 @@ def make_problem(
 
     constraints: optional tuple (pa_idx, pa_w, pb_idx, pb_w, target, weight).
     fixed_cameras: optional boolean (C,) — freeze those cameras' extrinsics.
+
+    Invariant: observation rows are stored sorted by (pt_idx, cam_idx).
+    Every segment reduction keyed by point index (and the Schur coupling
+    tensor's pt-major key) then sees monotonically non-decreasing segment
+    ids, so the solver can assert `indices_are_sorted` to XLA's scatter
+    lowering. Row order is otherwise meaningless — the solver only ever
+    reduces over the observation axis.
     """
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     C = K0.shape[0]
     N = len(cam_idx)
+    cam_idx = np.asarray(cam_idx)
+    pt_idx = np.asarray(pt_idx)
+    order = np.lexsort((cam_idx, pt_idx))
+    if not np.array_equal(order, np.arange(N)):
+        cam_idx = cam_idx[order]
+        pt_idx = pt_idx[order]
+        uv = np.asarray(uv)[order]
+        if obs_mask is not None:
+            obs_mask = np.asarray(obs_mask)[order]
     param_free = np.zeros((C, N_CAM_PARAMS), bool)
     param_free[:, :6] = True
     if fixed_cameras is not None:
@@ -310,7 +326,9 @@ def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh=None)
         ],
         axis=1,
     )
-    gp_dp = _pshard(jax.ops.segment_sum(payload, problem.pt_idx, n_points), mesh, "obs")
+    gp_dp = _pshard(
+        jax.ops.segment_sum(payload, problem.pt_idx, n_points, indices_are_sorted=True), mesh, "obs"
+    )
     g_p = gp_dp[:, :3]
     d_p = gp_dp[:, 3:].reshape(-1, 3, 3)
     if problem.n_constraints:
@@ -330,7 +348,7 @@ def _hessian_matvec(problem, w, Jc, Jp, qidx, Jq, vc, vp):
     )
     wJv = w * Jv
     out_c = jax.ops.segment_sum(jnp.einsum("nij,ni->nj", Jc, wJv), problem.cam_idx, C)
-    out_p = jax.ops.segment_sum(jnp.einsum("nij,ni->nj", Jp, wJv), problem.pt_idx, P)
+    out_p = jax.ops.segment_sum(jnp.einsum("nij,ni->nj", Jp, wJv), problem.pt_idx, P, indices_are_sorted=True)
     if problem.n_constraints:
         zq = jnp.einsum("qkj,qkj->q", Jq, vp[qidx])
         out_p = out_p.at[qidx.reshape(-1)].add((Jq * zq[:, None, None]).reshape(-1, 3))
@@ -443,10 +461,15 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
 
     W_blocks = jnp.einsum("nij,ni,nik->njk", Jc, w, Jp)  # (N,9,3)
     # flat segment_sum instead of .at[].add: XLA's sorted-segment lowering is
-    # ~4x faster than 2-D scatter-add for this shape on TPU
-    seg = problem.cam_idx.astype(jnp.int32) * P + problem.pt_idx.astype(jnp.int32)
-    G = jax.ops.segment_sum(W_blocks.reshape(-1, N_CAM_PARAMS * 3), seg, C * P)
-    G = _pshard(G.reshape(C, P, N_CAM_PARAMS, 3), mesh, None, "obs")
+    # ~4x faster than 2-D scatter-add for this shape on TPU. The key is
+    # PT-MAJOR so make_problem's (pt, cam) row order keeps it sorted; the
+    # (P, C, ...) result is transposed to the (C, P, ...) block layout the
+    # einsums below consume (a layout change XLA folds into them).
+    seg = problem.pt_idx.astype(jnp.int32) * C + problem.cam_idx.astype(jnp.int32)
+    G = jax.ops.segment_sum(
+        W_blocks.reshape(-1, N_CAM_PARAMS * 3), seg, C * P, indices_are_sorted=True
+    )
+    G = _pshard(G.reshape(P, C, N_CAM_PARAMS, 3).transpose(1, 0, 2, 3), mesh, None, "obs")
     Y = jnp.einsum("cpij,pjk->cpik", G, Hpp_inv)  # (C,P,9,3)
     S = -jnp.einsum("cpik,dpjk->cidj", Y, G)  # (C,9,C,9)
     S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(A_cc)
@@ -495,7 +518,9 @@ def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, 
     def G_T(vc):
         """G^T v: (C,9) -> (P,3), one obs pass."""
         t = w * jnp.einsum("nij,nj->ni", Jc, vc[problem.cam_idx])  # (N,2)
-        u = jax.ops.segment_sum(jnp.einsum("nij,ni->nj", Jp, t), problem.pt_idx, P_pts)
+        u = jax.ops.segment_sum(
+            jnp.einsum("nij,ni->nj", Jp, t), problem.pt_idx, P_pts, indices_are_sorted=True
+        )
         return _pshard(u, mesh, "obs")
 
     def G(vp):
