@@ -7,6 +7,7 @@ synthetic ground truth, robust-loss outlier behavior
 solver agreement (TPU-specific: both linear solvers must reach one optimum).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -65,11 +66,12 @@ class TestJacobianBlocks:
             jnp.asarray(views.K), jnp.asarray(views.dist), jnp.asarray(views.fisheye),
             jnp.asarray(1.0 / views.K[:, 0, 0]),
         )
-        r, Jc, Jp = observation_jacobian_blocks(jnp.asarray(cam9), jnp.asarray(X0), *args)
+        r, Jc, Jp = jax.jit(observation_jacobian_blocks)(jnp.asarray(cam9), jnp.asarray(X0), *args)
         eps = 1e-6
+        res_jit = jax.jit(observation_residuals)  # 24 probes below: eager would pay per-primitive dispatch each time
 
         def res_at(cam9_v, X_v):
-            return np.asarray(observation_residuals(jnp.asarray(cam9_v), jnp.asarray(X_v), *args))
+            return np.asarray(res_jit(jnp.asarray(cam9_v), jnp.asarray(X_v), *args))
 
         # camera params of camera 0
         for j in range(9):

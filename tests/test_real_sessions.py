@@ -285,6 +285,7 @@ class TestFullPipelineOnRealVideo:
         assert vol.reprojection_report.overall_rmse <= ref_rmse
 
 
+    @pytest.mark.slow  # ~110 s: decode + detect + calibrate 4 real videos
     def test_4cam_recording_video_to_calibration_with_real_timestamps(self, tmp_path):
         """Raw 4_cam_recording mp4s + the REAL recorded timestamps.csv (live
         frame times with per-camera jitter, sync indices starting at 416) ->
@@ -368,6 +369,8 @@ class TestRealChessboardDetection:
 
 
 class TestRealIntrinsicCalibration:
+    @pytest.mark.slow  # ~40 s: full real-video intrinsic run (fast tier keeps
+    # intrinsics coverage via TestUseCase + the cv2-oracle parity test)
     def test_mirrored_camera_intrinsics_from_real_video(self):
         """Intrinsic calibration of cam 1 of the prerecorded_calibration
         session — the camera that films the board's MIRRORED face, so every
@@ -430,6 +433,7 @@ class TestRealH264Decode:
 
 
 class TestRealRecordingReconstruction:
+    @pytest.mark.slow  # ~35 s: decode + detect + reconstruct 2 real videos
     def test_2cam_recording_to_trc(self, tmp_path):
         """Full reconstruction path on the charuco_calibration_2_cam session:
         real recording videos + the committed 2-camera rig -> synchronized
