@@ -36,8 +36,20 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Persistent compilation cache: first-compile of the fused detection program
 # through the remote-compile TPU path runs minutes; cached runs skip it.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/caliscope_jax_cache")
+# The directory is finalized in main() AFTER platform resolution — entries
+# baked by plugin-initialized processes carry different XLA CPU target flags
+# (+prefer-no-scatter) than plugin-less ones, and loading across that
+# boundary has crashed with machine-feature mismatches (SIGILL class).
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+
+def _finalize_cache_dir():
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        return
+    import jaxlib
+
+    key = f"{os.environ.get('JAX_PLATFORMS') or 'auto'}_{jaxlib.__version__}"
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/caliscope_jax_cache_{key}"
 
 import numpy as np
 
@@ -459,9 +471,12 @@ def main():
     if not _load_device_probe().apply_resolved_platform(logger=_log):
         _log("NO WORKING ACCELERATOR (wedged tunnel/compile service or renamed plugin); "
              "forcing CPU — TPU-named metrics below are CPU-fallback measurements")
+        _finalize_cache_dir()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        _finalize_cache_dir()
 
     def want(name):
         return only is None or name in only

@@ -74,18 +74,34 @@ def resolve_jax_platform(timeout_s: float | None = None) -> str | None:
     return None
 
 
+def _pin_config(value: str) -> None:
+    """Mirror the env decision into jax.config — the TPU plugin has been
+    observed to IGNORE the JAX_PLATFORMS env var (its init then retries
+    against a dead tunnel in a sleep loop); only the config update reliably
+    pins the backend. Safe pre- or post-import, no-op if a backend is
+    already initialized."""
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", value or None)
+    except Exception:
+        pass
+
+
 def apply_resolved_platform(logger=None) -> bool:
-    """Resolve and export a working platform into this process's env
-    (before any JAX backend init). Returns True when an accelerator was
-    found; on False the caller should pin CPU explicitly."""
+    """Resolve and export a working platform into this process's env AND
+    jax config (before any JAX backend init). Returns True when an
+    accelerator was found; False means CPU was pinned."""
     resolved = resolve_jax_platform()
     if resolved is None:
         if logger:
             logger("no working accelerator backend (tunnel down or renamed); using CPU")
         os.environ["JAX_PLATFORMS"] = "cpu"
+        _pin_config("cpu")
         return False
     if resolved != os.environ.get("JAX_PLATFORMS"):
         if logger:
             logger(f"JAX_PLATFORMS={os.environ.get('JAX_PLATFORMS')!r} not usable; switching to {resolved!r}")
-        os.environ["JAX_PLATFORMS"] = resolved
+    os.environ["JAX_PLATFORMS"] = resolved
+    _pin_config(resolved)
     return True

@@ -24,12 +24,18 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite's walltime is dominated by x64-CPU
 # recompiles of the same solver programs across test processes; warm runs
-# skip them entirely. The directory is test-suite-specific: bench.py's
-# TPU/axon runs bake different XLA CPU target flags (prefer-no-scatter) into
-# AOT entries, and sharing a directory trips cross-machine-feature loads.
+# skip them entirely. The directory is keyed by platform + jaxlib version:
+# processes where the TPU platform plugin initializes bake different XLA CPU
+# target flags (+prefer-no-scatter) into CPU AOT entries than plugin-less
+# processes, and loading an entry across that boundary has produced
+# machine-feature-mismatch errors up to SIGILL (observed 2026-08-18 after
+# the plugin's registration name changed and it stopped initializing).
+import jaxlib  # noqa: E402
+
+_cache_key = f"{os.environ.get('CALISCOPE_TPU_TEST_PLATFORM', 'cpu')}_{jaxlib.__version__}"
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/caliscope_jax_cache_tests"),
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", f"/tmp/caliscope_jax_cache_tests_{_cache_key}"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
