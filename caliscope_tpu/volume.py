@@ -154,7 +154,7 @@ class CaptureVolume:
         n_total = len(self.img_to_obj_map)
         n_matched = int(mask.sum())
         if n_matched == 0:
-            raise ValueError("No matched observations for reprojection error calculation")
+            raise ValueError("Reprojection report needs matched observations, and this volume has none")
 
         cam9 = initial_cam9(self.camera_array)
         err = np.asarray(
@@ -498,9 +498,9 @@ class CaptureVolume:
 
     def filter_by_absolute_error(self, max_pixels: float, min_per_camera: int = 10) -> "CaptureVolume":
         if max_pixels <= 0:
-            raise ValueError(f"max_pixels must be positive, got {max_pixels}")
+            raise ValueError(f"A non-positive pixel threshold ({max_pixels}) would drop every observation")
         if min_per_camera < 1:
-            raise ValueError(f"min_per_camera must be >= 1, got {min_per_camera}")
+            raise ValueError(f"The per-camera safety floor must keep at least one observation (got {min_per_camera})")
         thresholds = {cid: max_pixels for cid in self.camera_array.posed_cameras}
         return self._filter_by_thresholds(thresholds, min_per_camera)
 
@@ -512,9 +512,9 @@ class CaptureVolume:
     ) -> "CaptureVolume":
         """Remove the worst N% of observations by reprojection error."""
         if not (0 < percentile <= 100):
-            raise ValueError(f"percentile must be between 0 and 100, got {percentile}")
+            raise ValueError(f"Filter percentile {percentile} falls outside (0, 100]")
         if min_per_camera < 1:
-            raise ValueError(f"min_per_camera must be >= 1, got {min_per_camera}")
+            raise ValueError(f"The per-camera safety floor must keep at least one observation (got {min_per_camera})")
         raw = self.reprojection_report.raw_errors
         euclid = raw.euclidean_error
         keep_pct = 100 - percentile
@@ -527,7 +527,7 @@ class CaptureVolume:
             g = float(np.percentile(euclid, keep_pct))
             thresholds = {cid: g for cid in self.camera_array.posed_cameras}
         else:
-            raise ValueError(f"scope must be 'per_camera' or 'overall', got {scope}")
+            raise ValueError(f"Unknown filter scope {scope!r}; use per_camera or overall")
         return self._filter_by_thresholds(thresholds, min_per_camera)
 
     # ---- anchoring ----------------------------------------------------------
@@ -559,14 +559,14 @@ class CaptureVolume:
         static_ids = self.constraints.static_object_ids if self.constraints else frozenset()
         if sync_index is None:
             if object_id is None:
-                raise ValueError("sync_index=None requires an explicit object_id")
+                raise ValueError("Omitting sync_index requires naming the static object_id to anchor on")
             if object_id not in static_ids:
                 raise ValueError(
-                    f"sync_index=None is only valid for static markers, but object_id={object_id} is not static"
+                    f"Anchoring without a sync_index works only on STATIC markers; object {object_id} moves between frames"
                 )
         sel = np.ones(len(ip), bool) if sync_index is None else ip.sync_index == sync_index
         if not sel.any():
-            raise ValueError(f"No image observations at sync_index={sync_index}")
+            raise ValueError(f"Nothing was observed at sync_index={sync_index}; pick a frame the marker appears in")
         if object_id is None:
             objs = np.unique(ip.object_id[sel])
             if len(objs) > 1:
@@ -582,7 +582,7 @@ class CaptureVolume:
         kp_sel = ip.keypoint_id[sel]
         ol_sel = ip.obj_loc[sel].copy()
         if np.isnan(ol_sel[:, 2]).all() and np.isfinite(ol_sel[:, :2]).any():
-            logger.info("obj_loc_z is all NaN, assuming planar board with z=0")
+            logger.info("No z column in the object geometry; treating the target as the z=0 plane")
             ol_sel[:, 2] = 0.0
         uniq_kp, first = np.unique(kp_sel, return_index=True)
         obj_map = {int(k): ol_sel[i] for k, i in zip(uniq_kp, first) if np.isfinite(ol_sel[i]).all()}
@@ -620,7 +620,7 @@ class CaptureVolume:
         elif axis == "z":
             R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         else:
-            raise ValueError(f"Invalid axis '{axis}'. Must be 'x', 'y', or 'z'")
+            raise ValueError(f"Unknown rotation axis {axis!r} (expected one of x/y/z)")
         return self._apply_similarity(SimilarityParams(1.0, R, np.zeros(3)))
 
     def translate(self, x: float = 0.0, y: float = 0.0, z: float = 0.0) -> "CaptureVolume":
@@ -629,13 +629,13 @@ class CaptureVolume:
     def _anchor_cam_id(self) -> int:
         posed = self.camera_array.posed_cameras
         if not posed:
-            raise ValueError("No posed cameras; cannot anchor a shape-only volume.")
+            raise ValueError("Anchoring needs at least one posed camera, but none carry extrinsics yet")
         return min(posed)
 
     def _camera_center(self, cam_id: int) -> np.ndarray:
         cam = self.camera_array.cameras[cam_id]
         if cam.rotation is None or cam.translation is None:
-            raise ValueError(f"Camera {cam_id} has no pose; cannot compute its center.")
+            raise ValueError(f"Camera {cam_id} carries no extrinsics, so its optical center is undefined")
         return -cam.rotation.T @ cam.translation
 
     def scaled(self, *cues: CameraDistance | SegmentLength | DepthObservation) -> "CaptureVolume":
@@ -801,7 +801,7 @@ class CaptureVolume:
         """Floor at Z=0 (robust 1st-percentile order statistic of world Z) and
         XY origin under the anchor camera. Call after oriented()."""
         if mode != "lowest_point":
-            raise ValueError(f"grounded() only supports mode='lowest_point', got {mode!r}.")
+            raise ValueError(f"Unsupported grounding mode {mode!r}; 'lowest_point' is the only strategy implemented")
         min_z = float(np.percentile(self.world_points.xyz[:, 2], 1.0, method="lower"))
         center = self._camera_center(self._anchor_cam_id())
         return self.translate(x=-center[0], y=-center[1], z=-min_z + lowest_point_height_m)
