@@ -179,3 +179,66 @@ class TestExports:
         scene = default_ring_scene(n_frames=2)
         reconstruct_xyz(ImagePoints.empty(), scene.cameras, BlobTracker(), tmp_path / "sub")
         assert not (tmp_path / "sub").exists() or not list((tmp_path / "sub").iterdir())
+
+
+class TestAniposelibExport:
+    """aniposelib/Pose2Sim interop format (reference camera_array.py:491-534,
+    tests/test_aniposelib_export.py)."""
+
+    def _rig(self):
+        from caliscope_tpu.cameras import CameraArray, CameraData
+
+        K = np.array([[800.0, 0, 640], [0, 800.0, 360], [0, 0, 1.0]])
+        R = np.eye(3)
+        posed = CameraData(
+            cam_id=0, size=(1280, 720), matrix=K, distortions=np.zeros(5),
+            rotation=R, translation=np.array([0.1, -0.2, 2.0]),
+        )
+        th = 0.3
+        Ry = np.array([
+            [np.cos(th), 0, np.sin(th)],
+            [0, 1, 0],
+            [-np.sin(th), 0, np.cos(th)],
+        ])
+        posed2 = CameraData(
+            cam_id=2, size=(1280, 720), matrix=K.copy(), distortions=np.array([0.1, -0.05, 0.001, 0.002, 0.0]),
+            rotation=Ry, translation=np.array([-0.5, 0.0, 2.2]),
+        )
+        unposed = CameraData(cam_id=1, size=(640, 480), matrix=K.copy())
+        return CameraArray({0: posed, 1: unposed, 2: posed2})
+
+    def test_sections_and_fields(self, tmp_path):
+        import tomllib
+
+        rig = self._rig()
+        path = tmp_path / "anipose.toml"
+        rig.to_aniposelib_toml(path)
+        data = tomllib.loads(path.read_text())
+
+        # posed cameras only, flat [cam_N] sections + [metadata]
+        assert set(data.keys()) == {"cam_0", "cam_2", "metadata"}
+        assert data["metadata"] == {"adjusted": False, "error": 0.0}
+
+        c0 = data["cam_0"]
+        assert c0["name"] == "cam_0"
+        assert c0["size"] == [1280, 720]
+        np.testing.assert_allclose(np.array(c0["matrix"]), rig.cameras[0].matrix)
+        assert len(c0["distortions"]) == 5
+        # identity rotation must survive as an explicit zero rodrigues vector,
+        # not be dropped as falsy
+        assert c0["rotation"] == [0.0, 0.0, 0.0]
+        np.testing.assert_allclose(c0["translation"], [0.1, -0.2, 2.0])
+        assert c0["fisheye"] is False
+
+    def test_rotation_is_rodrigues_of_world_to_cam(self, tmp_path):
+        import tomllib
+
+        from caliscope_tpu.ops.lie import so3_exp
+
+        rig = self._rig()
+        path = tmp_path / "anipose.toml"
+        rig.to_aniposelib_toml(path)
+        data = tomllib.loads(path.read_text())
+        rvec = np.array(data["cam_2"]["rotation"])
+        assert rvec.shape == (3,)
+        np.testing.assert_allclose(np.asarray(so3_exp(rvec)), rig.cameras[2].rotation, atol=1e-9)
