@@ -149,3 +149,58 @@ class TestBoardExport:
         out = tmp_path / "board.png"
         assert cli_main(["export-board", str(ws_dir), str(out)]) == 0
         assert out.exists() and out.stat().st_size > 1000
+
+
+class TestLogging:
+    """Rotating-file + console logging and the global excepthook
+    (reference logger.py:69-113)."""
+
+    def test_file_handler_receives_records(self, tmp_path):
+        import logging
+
+        from caliscope_tpu.logger import setup_logging
+
+        setup_logging(log_dir=tmp_path, console=False)
+        try:
+            logging.getLogger("caliscope_tpu.some.module").warning("calibration drift detected")
+            for h in logging.getLogger("caliscope_tpu").handlers:
+                h.flush()
+            text = (tmp_path / "caliscope_tpu.log").read_text()
+            assert "calibration drift detected" in text
+            assert "WARNING" in text
+        finally:
+            logging.getLogger("caliscope_tpu").handlers.clear()
+
+    def test_excepthook_logs_uncaught(self, tmp_path):
+        import logging
+        import sys
+
+        from caliscope_tpu.logger import setup_logging
+
+        prev_hook = sys.excepthook
+        setup_logging(log_dir=tmp_path, console=False)
+        try:
+            try:
+                raise RuntimeError("boom from excepthook test")
+            except RuntimeError:
+                sys.excepthook(*sys.exc_info())
+            for h in logging.getLogger("caliscope_tpu").handlers:
+                h.flush()
+            text = (tmp_path / "caliscope_tpu.log").read_text()
+            assert "Uncaught exception" in text
+            assert "boom from excepthook test" in text
+        finally:
+            sys.excepthook = prev_hook
+            logging.getLogger("caliscope_tpu").handlers.clear()
+
+    def test_reconfiguration_does_not_duplicate_handlers(self, tmp_path):
+        import logging
+
+        from caliscope_tpu.logger import setup_logging
+
+        try:
+            setup_logging(log_dir=tmp_path, console=True)
+            setup_logging(log_dir=tmp_path, console=True)
+            assert len(logging.getLogger("caliscope_tpu").handlers) == 2
+        finally:
+            logging.getLogger("caliscope_tpu").handlers.clear()
