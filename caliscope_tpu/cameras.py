@@ -122,15 +122,21 @@ class CameraData:
 
         if not self.has_intrinsics:
             raise CalibrationError(f"Camera {self.cam_id} lacks intrinsic calibration; cannot undistort points.")
+        from caliscope_tpu.ops.bucket import bucket_size, pad_rows
+
+        # Bucket the row count so repeated host calls at shifting N reuse one
+        # compiled program instead of retracing the Newton loop per N.
+        pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+        n = len(pts)
         return np.asarray(
             undistort_points(
-                np.asarray(points, dtype=np.float64).reshape(-1, 2),
+                pad_rows(pts, bucket_size(n)),
                 self.matrix,
                 self.distortions,
                 self.fisheye,
                 output=output,
             )
-        )
+        )[:n]
 
     def undistort_frame(self, frame: np.ndarray) -> np.ndarray:
         """Undistort a full frame via a cached remap grid (reference

@@ -29,43 +29,13 @@ from caliscope_tpu.cameras import CameraArray
 from caliscope_tpu.exceptions import CalibrationError
 from caliscope_tpu.observations import ImagePoints
 from caliscope_tpu.ops import lie
+from caliscope_tpu.ops.bucket import bucket_size, pad_rows
 
 logger = logging.getLogger(__name__)
 
 DEFAULT_MIN_PNP_POINTS = 4
 MIN_NONPLANAR_PNP_POINTS = 6
 DEFAULT_OUTLIER_THRESHOLD = 1.5  # IQR multiplier
-
-
-def _np_so3_exp(rvec: np.ndarray) -> np.ndarray:
-    """Host-side Rodrigues exp: persistence paths must not touch the device
-    (an eager so3_exp per stored pair means one tunnel round trip each)."""
-    theta = float(np.linalg.norm(rvec))
-    if theta < 1e-12:
-        return np.eye(3)
-    k = rvec / theta
-    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
-    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
-
-
-def _np_so3_log(R: np.ndarray) -> np.ndarray:
-    """Host-side Rodrigues log (see _np_so3_exp)."""
-    cos_t = np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)
-    theta = float(np.arccos(cos_t))
-    if theta < 1e-12:
-        return np.zeros(3)
-    if abs(theta - np.pi) < 1e-6:
-        A = (R + np.eye(3)) / 2
-        axis = np.sqrt(np.maximum(np.diag(A), 0))
-        if axis[0] > 0:
-            axis[1] = np.copysign(axis[1], A[0, 1])
-            axis[2] = np.copysign(axis[2], A[0, 2])
-        elif axis[1] > 0:
-            axis[2] = np.copysign(axis[2], A[1, 2])
-        n = np.linalg.norm(axis)
-        return theta * (axis / n if n > 0 else np.array([1.0, 0, 0]))
-    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-    return theta / (2 * np.sin(theta)) * w
 
 
 # ---------------------------------------------------------------------------
@@ -116,15 +86,23 @@ def estimate_camera_object_poses(
         )
 
     cam_idx = np.array([id_to_idx[int(c)] for c in ip.cam_id])
-    # Undistort all observations in one batch
+    # Undistort all observations in one batch. Rows are bucketed to a
+    # power-of-two count (identity-K filler) so the device program is reused
+    # across datasets instead of recompiling at every observation count.
     K_obs = views.K[cam_idx]
     d_obs = views.dist[cam_idx]
     fe_obs = views.fisheye[cam_idx]
-    xn = np.asarray(undistort_points(jnp.asarray(ip.img_xy), jnp.asarray(K_obs), jnp.asarray(d_obs), False))
+    N = len(ip)
+    Nb = bucket_size(N)
+    uv_b = pad_rows(ip.img_xy, Nb)
+    K_b = pad_rows(K_obs, Nb)
+    K_b[N:] = np.eye(3)
+    d_b = pad_rows(d_obs, Nb)
+    xn = np.asarray(undistort_points(jnp.asarray(uv_b), jnp.asarray(K_b), jnp.asarray(d_b), False))[:N]
     if fe_obs.any():
         xn_f = np.asarray(
-            undistort_points(jnp.asarray(ip.img_xy), jnp.asarray(K_obs), jnp.asarray(d_obs[:, :4]), True)
-        )
+            undistort_points(jnp.asarray(uv_b), jnp.asarray(K_b), jnp.asarray(d_b[:, :4]), True)
+        )[:N]
         xn = np.where(fe_obs[:, None], xn_f, xn)
 
     # Group by (sync, cam, obj)
@@ -144,9 +122,15 @@ def estimate_camera_object_poses(
 
     G = len(keep_groups)
     Kmax = int(counts[keep_groups].max())
-    obj_pad = np.zeros((G, Kmax, 3))
-    img_pad = np.zeros((G, Kmax, 2))
-    mask_pad = np.zeros((G, Kmax), bool)
+    # Bucket the padded batch shape to powers of two: the jitted PnP program
+    # then compiles once per BUCKET, not once per dataset — (G, Kmax) varies
+    # with every scene/session, and on both the test CPU and the TPU a fresh
+    # XLA compile costs far more than solving the masked filler groups.
+    Gb = bucket_size(G)
+    Kb = bucket_size(Kmax, floor=8)
+    obj_pad = np.zeros((Gb, Kb, 3))
+    img_pad = np.zeros((Gb, Kb, 2))
+    mask_pad = np.zeros((Gb, Kb), bool)
     order = np.argsort(g_of_obs[obs_keep], kind="stable")
     rows = np.where(obs_keep)[0][order]
     g_sorted = g_of_obs[rows]
@@ -156,6 +140,8 @@ def estimate_camera_object_poses(
     mask_pad[g_sorted, slot] = True
 
     rvec, tvec, rms, n_pts = solve_pnp_batch(jnp.asarray(obj_pad), jnp.asarray(img_pad), jnp.asarray(mask_pad))
+    rvec, tvec, rms, n_pts = (np.asarray(a)[:G] for a in (rvec, tvec, rms, n_pts))
+    obj_pad, mask_pad = obj_pad[:G], mask_pad[:G]
     keys = uniq[keep_groups]
 
     # Enforce the non-planar minimum after the fact (planarity per group)
@@ -358,18 +344,33 @@ def stereo_rmse(pair: StereoPair, image_points: ImagePoints, camera_array: Camer
     db = np.zeros(dmax)
     db[: len(cam_b.distortions)] = cam_b.distortions
     d = np.where(is_a[:, None], da[None], db[None])
-    xn = np.asarray(undistort_points(jnp.asarray(ip.img_xy), jnp.asarray(K), jnp.asarray(d), cam_a.fisheye))
+    # Bucket rows + point count so this per-pair scorer reuses one compiled
+    # program across pairs/datasets (filler rows feed a reserved dummy point).
+    N = len(ip)
+    Nb = bucket_size(N)
+    n_points = int(pt_idx.max()) + 1
+    Pb = bucket_size(n_points + 1)
+    K_b = pad_rows(K, Nb)
+    K_b[N:] = np.eye(3)
+    xn = np.asarray(
+        undistort_points(jnp.asarray(pad_rows(ip.img_xy, Nb)), jnp.asarray(K_b), jnp.asarray(pad_rows(d, Nb)), cam_a.fisheye)
+    )[:N]
 
     proj = np.zeros((2, 3, 4))
     proj[0, :3, :3] = np.eye(3)
     proj[1, :3, :3] = pair.rotation
     proj[1, :3, 3] = pair.translation
     cam_idx = np.where(is_a, 0, 1)
-    n_points = int(pt_idx.max()) + 1
     xyz, n_views = triangulate_groups(
-        jnp.asarray(proj), jnp.asarray(cam_idx), jnp.asarray(xn), jnp.asarray(pt_idx), n_points, 2
+        jnp.asarray(proj),
+        jnp.asarray(pad_rows(cam_idx, Nb)),
+        jnp.asarray(pad_rows(xn, Nb)),
+        jnp.asarray(pad_rows(pt_idx, Nb, fill=Pb - 1)),
+        Pb,
+        2,
     )
-    xyz = np.asarray(xyz)
+    xyz = np.asarray(xyz)[:n_points]
+    n_views = np.asarray(n_views)[:n_points]
     # reproject in normalized coords, convert to px with each camera's focal
     P = proj[cam_idx]
     Xh = np.concatenate([xyz[pt_idx], np.ones((len(ip), 1))], axis=1)
@@ -378,7 +379,7 @@ def stereo_rmse(pair: StereoPair, image_points: ImagePoints, camera_array: Camer
     uvn = xc[:, :2] / np.where(ok, xc[:, 2], 1.0)[:, None]
     f = np.where(is_a, cam_a.matrix[0, 0], cam_b.matrix[0, 0])
     err_px = np.linalg.norm(uvn - xn, axis=1) * f
-    err_px = err_px[ok & (np.asarray(n_views)[pt_idx] >= 2)]
+    err_px = err_px[ok & (n_views[pt_idx] >= 2)]
     if len(err_px) == 0:
         return np.nan
     return float(np.sqrt(np.mean(err_px**2)))
@@ -520,7 +521,7 @@ class PairedPoseNetwork:
                 continue
             data[f"stereo_{a}_{b}"] = {
                 "RMSE": float(sp.error_score),
-                "rotation": _np_so3_log(sp.rotation).tolist(),
+                "rotation": np.asarray(lie.so3_log(sp.rotation)).tolist(),
                 "translation": sp.translation.reshape(-1).tolist(),
             }
         persistence.safe_write_toml(data, path)
@@ -540,7 +541,7 @@ class PairedPoseNetwork:
                 logger.warning(f"Skipping invalid stereo pair key: {key}")
                 continue
             a, b = int(name_parts[1]), int(name_parts[2])
-            R = _np_so3_exp(np.asarray(v["rotation"], dtype=np.float64))
+            R = np.asarray(lie.so3_exp(np.asarray(v["rotation"], dtype=np.float64)))
             t = np.asarray(v["translation"], dtype=np.float64).reshape(-1)
             pairs[(a, b)] = StereoPair(a, b, float(v.get("RMSE", 0.0)), R, t)
         return cls.from_raw_estimates(pairs)
@@ -607,8 +608,13 @@ def scaffold_assembly(
         obj = cloud.xyz[rows[ok]]
         xn = cam.undistort_points(image_points.img_xy[sel][ok], output="normalized")
         thr = 3.0 / cam.matrix[0, 0]
+        # bucketed rows: one compiled RANSAC program across cameras/datasets
+        n = len(obj)
+        nb = bucket_size(n)
+        mask_b = np.zeros(nb, bool)
+        mask_b[:n] = True
         rvec, tvec, inl, med = pnp_ransac(
-            jnp.asarray(obj), jnp.asarray(xn), jnp.ones(len(obj), bool), thr, seed=cid
+            jnp.asarray(pad_rows(obj, nb)), jnp.asarray(pad_rows(xn, nb)), jnp.asarray(mask_b), thr, seed=cid
         )
         if int(np.asarray(inl).sum()) < 6:
             return None
