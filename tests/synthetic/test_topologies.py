@@ -23,6 +23,20 @@ from caliscope_tpu.volume import CaptureVolume
 from tests.synthetic.production import align_to_ground_truth, pose_error, run_production_pipeline
 
 
+class TestMinimalStereoRig:
+    def test_two_camera_pipeline_recovers_pose_and_scale(self):
+        """BASELINE config #2: a bare stereo pair through the full production
+        pipeline. With only one camera pair there is no transitive bridging
+        and no redundant pair to outvote a bad estimate — the solve leans
+        entirely on the PnP samples and the board's metric obj_loc, so this
+        is the minimal-information corner of the rig-topology space."""
+        scene = default_ring_scene(n_cameras=2, n_frames=30, seed=11)
+        run = run_production_pipeline(scene)
+        assert run.max_rotation_deg <= 0.5
+        assert run.max_translation_m <= 0.005
+        assert run.result.capture_volume.reprojection_report.overall_rmse <= 1.0
+
+
 class TestSparseChainTopology:
     def test_distant_pairs_share_nothing_yet_rig_solves(self):
         """Wide ring + small orbit: distant camera pairs co-observe little or
