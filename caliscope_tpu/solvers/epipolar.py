@@ -25,6 +25,7 @@ import numpy as np
 from caliscope_tpu.cameras import CameraArray, CameraData
 from caliscope_tpu.exceptions import CalibrationError
 from caliscope_tpu.observations import ImagePoints
+from caliscope_tpu.ops.bucket import bucket_size, pad_rows
 
 logger = logging.getLogger(__name__)
 
@@ -74,9 +75,14 @@ def recover_pair_pose(pixels_a, pixels_b, *, camera_a: CameraData, camera_b: Cam
     norm_b = camera_b.undistort_points(pixels_b, output="normalized")
     mean_focal = 0.5 * (camera_a.matrix[0, 0] + camera_b.matrix[0, 0])
     threshold = RANSAC_THRESHOLD_PX / mean_focal
-    mask = np.ones(len(norm_a), bool)
+    # bucket correspondence count: per-pair N varies, masks make filler free
+    N = len(norm_a)
+    Nb = bucket_size(N)
+    mask = np.zeros(Nb, bool)
+    mask[:N] = True
+    na_b, nb_b = jnp.asarray(pad_rows(norm_a, Nb)), jnp.asarray(pad_rows(norm_b, Nb))
     E, inl, n_inl = essential_ransac(
-        jnp.asarray(norm_a), jnp.asarray(norm_b), jnp.asarray(mask), threshold,
+        na_b, nb_b, jnp.asarray(mask), threshold,
         n_iters=ESSENTIAL_RANSAC_ITERS, seed=seed,
     )
     E = np.asarray(E)
@@ -85,8 +91,9 @@ def recover_pair_pose(pixels_a, pixels_b, *, camera_a: CameraData, camera_b: Cam
         raise ValueError(f"essential-matrix estimation degenerate ({int(n_inl)} inliers)")
     s = np.linalg.svd(E, compute_uv=False)
     conditioning = float(s[1] / s[0]) if s[0] > 1e-12 else 0.0
-    R, t, cheir = recover_pose(jnp.asarray(E), jnp.asarray(norm_a), jnp.asarray(norm_b), jnp.asarray(inl))
-    cheir = np.asarray(cheir)
+    R, t, cheir = recover_pose(jnp.asarray(E), na_b, nb_b, jnp.asarray(inl))
+    cheir = np.asarray(cheir)[:N]
+    inl = inl[:N]
     return {
         "rotation": np.asarray(R),
         "translation": np.asarray(t),
@@ -117,9 +124,12 @@ def triangulate_scaffold(pair_pose: dict, keys: np.ndarray) -> dict[tuple[int, i
     P[1, :3, :3] = pair_pose["rotation"]
     P[1, :3, 3] = pair_pose["translation"]
     N = len(idx)
-    Pb = np.broadcast_to(P, (N, 2, 3, 4))
-    xn = np.stack([na, nb], axis=1)
-    X = np.asarray(triangulate_dlt(jnp.asarray(Pb), jnp.asarray(xn), jnp.ones((N, 2), bool)))
+    Nb = bucket_size(N)
+    Pb = np.broadcast_to(P, (Nb, 2, 3, 4))
+    xn = pad_rows(np.stack([na, nb], axis=1), Nb)
+    vmask = np.zeros((Nb, 2), bool)
+    vmask[:N] = True
+    X = np.asarray(triangulate_dlt(jnp.asarray(Pb), jnp.asarray(xn), jnp.asarray(vmask)))[:N]
     finite = np.isfinite(X).all(axis=1) & (np.abs(X) < 1e6).all(axis=1)
     return {tuple(int(v) for v in keys[i]): X[j] for j, i in enumerate(idx) if finite[j]}
 
@@ -149,8 +159,12 @@ def resection_camera(cloud: dict, ip: ImagePoints, cam_id: int, camera: CameraDa
     obj = np.asarray(obj)
     xn = camera.undistort_points(np.asarray(pix), output="normalized")
     threshold = RANSAC_THRESHOLD_PX / camera.matrix[0, 0]
+    n = len(obj)
+    nb = bucket_size(n)
+    mask_b = np.zeros(nb, bool)
+    mask_b[:n] = True
     rvec, tvec, inl, med = pnp_ransac(
-        jnp.asarray(obj), jnp.asarray(xn), jnp.ones(len(obj), bool), threshold,
+        jnp.asarray(pad_rows(obj, nb)), jnp.asarray(pad_rows(xn, nb)), jnp.asarray(mask_b), threshold,
         n_iters=PNP_RANSAC_ITERS, seed=seed,
     )
     if int(np.asarray(inl).sum()) < 4:
