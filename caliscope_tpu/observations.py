@@ -167,6 +167,7 @@ class ImagePoints:
         (sync, object, keypoint) group seen by >= min_views posed cameras."""
         import jax.numpy as jnp
 
+        from caliscope_tpu.ops.bucket import bucket_size, pad_rows
         from caliscope_tpu.ops.projection import undistort_points
         from caliscope_tpu.ops.triangulate import triangulate_groups
 
@@ -185,17 +186,25 @@ class ImagePoints:
         # fused elementwise kernel — no per-camera grouping needed on TPU.
         # Mixed brown/fisheye arrays are handled by running both branches and
         # selecting (both are cheap elementwise iterate kernels).
+        # Every data-dependent extent (rows, points, view width) is bucketed
+        # to a power of two so this method — called once per pipeline stage
+        # and per scaffold-growth step — reuses compiled programs instead of
+        # retracing at each dataset's exact sizes.
         K_obs = views.K[cam_idx]
         d_obs = views.dist[cam_idx]
         fe_obs = views.fisheye[cam_idx]
-        xn_brown = undistort_points(jnp.asarray(obs.img_xy), jnp.asarray(K_obs), jnp.asarray(d_obs), False)
+        N = len(obs)
+        Nb = bucket_size(N)
+        uv_b = pad_rows(obs.img_xy, Nb)
+        K_b = pad_rows(K_obs, Nb)
+        K_b[N:] = np.eye(3)
+        d_b = pad_rows(d_obs, Nb)
+        xn_brown = undistort_points(jnp.asarray(uv_b), jnp.asarray(K_b), jnp.asarray(d_b), False)
         if fe_obs.any():
-            xn_fish = undistort_points(
-                jnp.asarray(obs.img_xy), jnp.asarray(K_obs), jnp.asarray(d_obs[:, :4]), True
-            )
-            xn = np.where(fe_obs[:, None], np.asarray(xn_fish), np.asarray(xn_brown))
+            xn_fish = undistort_points(jnp.asarray(uv_b), jnp.asarray(K_b), jnp.asarray(d_b[:, :4]), True)
+            xn = np.where(fe_obs[:, None], np.asarray(xn_fish)[:N], np.asarray(xn_brown)[:N])
         else:
-            xn = np.asarray(xn_brown)
+            xn = np.asarray(xn_brown)[:N]
 
         pt_idx, keys = obs.point_index(static_object_ids)
         n_points = len(keys)
@@ -203,16 +212,17 @@ class ImagePoints:
         max_views = int(counts.max())
         # Static groups can aggregate cams x syncs observations; cap padding.
         max_views = min(max_views, 512)
+        Pb = bucket_size(n_points + 1)
         xyz, n_views = triangulate_groups(
             jnp.asarray(views.proj),
-            jnp.asarray(cam_idx),
-            jnp.asarray(xn),
-            jnp.asarray(pt_idx),
-            n_points,
-            max_views,
+            jnp.asarray(pad_rows(cam_idx, Nb)),
+            jnp.asarray(pad_rows(xn, Nb)),
+            jnp.asarray(pad_rows(pt_idx, Nb, fill=Pb - 1)),
+            Pb,
+            bucket_size(max_views, floor=2),
         )
-        xyz = np.asarray(xyz)
-        n_views = np.asarray(n_views)
+        xyz = np.asarray(xyz)[:n_points]
+        n_views = np.asarray(n_views)[:n_points]
         keep = n_views >= min_views
 
         ft = np.full(n_points, np.nan)

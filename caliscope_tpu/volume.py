@@ -157,18 +157,23 @@ class CaptureVolume:
             raise ValueError("Reprojection report needs matched observations, and this volume has none")
 
         cam9 = initial_cam9(self.camera_array)
+        # bucket rows: each filter stage re-reports at a different count, and
+        # filler rows (index 0, uv 0) cost flops instead of an XLA retrace
+        from caliscope_tpu.ops.bucket import bucket_size, pad_rows
+
+        Nb = bucket_size(n_matched)
         err = np.asarray(
             reprojection_errors(
                 jnp.asarray(cam9),
-                jnp.asarray(self.world_points.xyz),
-                jnp.asarray(cam_idx),
-                jnp.asarray(obj_idx),
-                jnp.asarray(uv),
+                jnp.asarray(pad_rows(self.world_points.xyz, bucket_size(len(self.world_points)))),
+                jnp.asarray(pad_rows(cam_idx, Nb)),
+                jnp.asarray(pad_rows(obj_idx, Nb)),
+                jnp.asarray(pad_rows(uv, Nb)),
                 jnp.asarray(views.K),
                 jnp.asarray(views.dist),
                 jnp.asarray(views.fisheye),
             )
-        )
+        )[:n_matched]
         euclid = np.sqrt(np.sum(err**2, axis=1))
         ip = self.image_points
         raw = RawErrors(
@@ -883,8 +888,13 @@ def _repair_bootstrap_outlier_cameras(
             obj = cloud.xyz[rows[ok]]
             xn = cam.undistort_points(ip.img_xy[sel][ok], output="normalized")
             thr = 3.0 / cam.matrix[0, 0]
+            from caliscope_tpu.ops.bucket import bucket_size, pad_rows
+
+            nb = bucket_size(len(obj))
+            mask_b = np.zeros(nb, bool)
+            mask_b[: len(obj)] = True
             rvec, tvec, inl, _med = pnp_ransac(
-                jnp.asarray(obj), jnp.asarray(xn), jnp.ones(len(obj), bool), thr, seed=cid
+                jnp.asarray(pad_rows(obj, nb)), jnp.asarray(pad_rows(xn, nb)), jnp.asarray(mask_b), thr, seed=cid
             )
             if int(np.asarray(inl).sum()) < 6:
                 continue
