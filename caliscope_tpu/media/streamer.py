@@ -52,6 +52,7 @@ class FramePacketStreamer:
         self._stop = threading.Event()
         self._seek_to: Optional[int] = None
         self._position = 0
+        self._reopen = False
         self._thread: Optional[threading.Thread] = None
 
     # ---- subscriptions ------------------------------------------------------
@@ -80,6 +81,40 @@ class FramePacketStreamer:
                 except Exception:
                     pass
 
+    # ---- metadata (reference frame_packet_streamer.py:106-141) --------------
+    @property
+    def size(self) -> tuple[int, int]:
+        """(width, height) of the underlying video."""
+        props = read_video_properties(self.video_path)
+        return (props.width, props.height)
+
+    @property
+    def original_fps(self) -> float:
+        return self._native_fps
+
+    @property
+    def last_frame_index(self) -> int:
+        return self.frame_count - 1
+
+    @property
+    def frame_index(self) -> int:
+        return self._position
+
+    @property
+    def frame_time(self) -> float:
+        """Playback time (seconds) of the current position at the file rate."""
+        return self._position / max(self._native_fps, 1e-6)
+
+    def update_tracker(self, tracker: Optional[Tracker]) -> None:
+        """Swap the tracker mid-playback (reference :145). If the new
+        tracker wants a different pixel format, the worker reopens the
+        decoder at the current position on its next loop."""
+        old_pf = self.tracker.pixel_format if self.tracker else PixelFormat.BGR
+        new_pf = tracker.pixel_format if tracker else PixelFormat.BGR
+        self.tracker = tracker
+        if new_pf != old_pf:
+            self._reopen = True
+
     # ---- transport ----------------------------------------------------------
     @property
     def position(self) -> int:
@@ -95,6 +130,10 @@ class FramePacketStreamer:
     def pause(self) -> None:
         self._pause.set()
 
+    def unpause(self) -> None:
+        """Resume without (re)starting the worker thread (reference :225)."""
+        self._pause.clear()
+
     def seek(self, frame_index: int) -> None:
         self._seek_to = max(0, min(frame_index, self.frame_count - 1))
 
@@ -109,6 +148,9 @@ class FramePacketStreamer:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+
+    # reference :272 calls this close(); keep both names
+    close = stop
 
     # ---- worker -------------------------------------------------------------
     def _open_source(self, start: int) -> FrameSource:
@@ -126,6 +168,10 @@ class FramePacketStreamer:
         src = self._open_source(self._position)
         try:
             while not self._stop.is_set():
+                if self._reopen:
+                    self._reopen = False
+                    src.close()
+                    src = self._open_source(self._position)
                 if self._seek_to is not None:
                     target = self._seek_to
                     self._seek_to = None

@@ -178,3 +178,65 @@ class TestStreamer:
         assert s.fps == 240.0
         s.set_fps_target(None)
         assert s.fps == s._native_fps
+
+
+class TestStreamerParitySurface:
+    def test_metadata_properties(self, tmp_path):
+        rec = _make_recording(tmp_path, cam_ids=(0,))
+        s = FramePacketStreamer(rec / "cam_0.mp4", cam_id=0)
+        assert s.size == (96, 64)
+        assert s.original_fps == pytest.approx(30.0, rel=0.01)
+        assert s.last_frame_index == s.frame_count - 1
+        assert s.frame_index == 0
+        assert s.frame_time == pytest.approx(0.0)
+        s.seek(4)
+        s.play()
+        time.sleep(0.3)
+        s.pause()
+        assert s.frame_time == pytest.approx(s.frame_index / 30.0, rel=1e-6)
+        s.stop()
+
+    def test_update_tracker_mid_playback(self, tmp_path):
+        """Swapping in a GRAY tracker mid-stream reopens the decoder with the
+        new pixel format and subsequent frames carry tracked points."""
+        rec = _make_recording(tmp_path, cam_ids=(0,), n_frames=30)
+        s = FramePacketStreamer(rec / "cam_0.mp4", cam_id=0, fps_override=60.0, end_behavior="pause")
+        q = s.subscribe()
+        s.play()
+        time.sleep(0.15)
+        s.update_tracker(DotTracker())
+        got_tracked = []
+        deadline = time.time() + 10
+        while time.time() < deadline and not got_tracked:
+            try:
+                item = q.get(timeout=1.0)
+            except Empty:
+                continue
+            if item is not None and hasattr(item, "points"):
+                got_tracked.append(item)
+        s.stop()
+        assert got_tracked, "no tracked frames after update_tracker"
+        assert got_tracked[0].packet.frame.ndim == 2  # GRAY frames after the swap
+
+    def test_unpause_and_close_aliases(self, tmp_path):
+        rec = _make_recording(tmp_path, cam_ids=(0,), n_frames=20)
+        s = FramePacketStreamer(rec / "cam_0.mp4", cam_id=0, fps_override=200.0, end_behavior="pause")
+        q = s.subscribe()
+        s.play()
+        time.sleep(0.1)
+        s.pause()
+        pos = s.position
+        time.sleep(0.2)
+        assert s.position == pos  # held
+        s.unpause()
+        deadline = time.time() + 5
+        moved = False
+        while time.time() < deadline:
+            try:
+                if q.get(timeout=0.5) is not None:
+                    moved = True
+                    break
+            except Empty:
+                continue
+        s.close()
+        assert moved
