@@ -110,6 +110,16 @@ def _lm_refine(params0, obj_pts, img_pts, mask, n_dist, fisheye, fix_aspect, max
     robust = robust_f > 0
     f2 = jnp.where(robust, robust_f**2, 1.0)
 
+    # Frames with <4 valid corners (incl. all-masked padding frames from the
+    # shape-bucketed caller) contribute zero residual rows, leaving their six
+    # pose parameters unconstrained; a unit prior on exactly those diagonal
+    # entries keeps the normal equations well-conditioned while their updates
+    # stay zero (their gradient is zero).
+    frame_ok = (jnp.sum(mask, axis=1) >= 4).astype(params0.dtype)
+    prior = jnp.concatenate(
+        [jnp.zeros(4 + n_dist, params0.dtype), jnp.repeat(1.0 - frame_ok, 6)]
+    )
+
     def point_z(p):
         r = _residuals(p, obj_pts, img_pts, mask, n_dist, fisheye, fix_aspect)
         return r, jnp.sum(r**2, axis=-1) / f2  # (F,K)
@@ -131,7 +141,7 @@ def _lm_refine(params0, obj_pts, img_pts, mask, n_dist, fisheye, fix_aspect, max
         g = J.T @ r
         H = J.T @ J
         D = jnp.maximum(jnp.diag(H), 1e-9)
-        p_new = p - jnp.linalg.solve(H + lam * jnp.diag(D), g)
+        p_new = p - jnp.linalg.solve(H + lam * jnp.diag(D) + jnp.diag(prior), g)
         cost_new = cost_fn(p_new)
         accept = cost_new < cost
         lam = jnp.where(accept, lam * 0.35, lam * 4.0)
@@ -177,15 +187,32 @@ def solve_intrinsics(
     behavior and RMSE convention (sqrt of mean squared point error).
     """
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    obj = jnp.asarray(obj_pts, dtype)
-    img = jnp.asarray(img_pts, dtype)
-    m = jnp.asarray(mask, bool)
-    F = obj.shape[0]
+    # Bucket (frames, corners) to powers of two: sessions differ in frame
+    # budget and board size, and the jitted LM would otherwise recompile per
+    # dataset. All-masked padding frames are inert — zero residual rows plus
+    # the unit pose prior in _lm_refine (see there).
+    from caliscope_tpu.ops.bucket import bucket_size
+
+    F_real, K_real = int(np.asarray(obj_pts).shape[0]), int(np.asarray(obj_pts).shape[1])
+    Fb, Kb = bucket_size(F_real, floor=8), bucket_size(K_real, floor=8)
+    obj_b = np.zeros((Fb, Kb, 3))
+    obj_b[:F_real, :K_real] = obj_pts
+    img_b = np.zeros((Fb, Kb, 2))
+    img_b[:F_real, :K_real] = img_pts
+    m_b = np.zeros((Fb, Kb), bool)
+    m_b[:F_real, :K_real] = mask
+    obj = jnp.asarray(obj_b, dtype)
+    img = jnp.asarray(img_b, dtype)
+    m = jnp.asarray(m_b, bool)
+    F = Fb
     n_dist = 4 if fisheye else 5
 
     # 1. Batched homographies board-plane -> pixels
     H = homography_dlt(obj[..., :2], img, m)
     frame_ok = jnp.sum(m, axis=1) >= 4
+    # padding/degenerate frames: a finite placeholder H keeps the pose init
+    # NaN-free; their poses are inert in the LM either way
+    H = jnp.where(frame_ok[:, None, None], H, jnp.eye(3, dtype=dtype))
 
     # 2. Zhang closed-form K (fallback: f = width, centered pp)
     K0 = zhang_intrinsics_from_homographies(H, frame_ok)
@@ -251,14 +278,14 @@ def solve_intrinsics(
 
     p = np.asarray(p)
     K = np.array([[p[0], 0, p[2]], [0, p[0] if fix_aspect else p[1], p[3]], [0, 0, 1.0]])
-    pose = p[4 + n_dist :].reshape(-1, 6)
+    pose = p[4 + n_dist :].reshape(-1, 6)[:F_real]
     return IntrinsicSolveResult(
         K=K,
         dist=p[4 : 4 + n_dist].copy(),
         rvecs=pose[:, :3].copy(),
         tvecs=pose[:, 3:].copy(),
         rmse=rmse,
-        n_frames=F,
+        n_frames=F_real,
         converged=bool(done),
         n_iterations=int(it),
     )
