@@ -258,12 +258,14 @@ def _masked_blocks(problem: BAProblem, cam9, X, loss: str, f_scale: float):
         cam9, X, problem.cam_idx, problem.pt_idx, problem.uv,
         problem.K0, problem.dist0, problem.fisheye, problem.inv_fx,
     )
-    m = problem.obs_mask.astype(r.dtype)[:, None]
-    r = r * m
+    # where-select (not multiply): a padded row may project degenerately and
+    # produce NaN/inf, and 0 * NaN would poison the whole reduction
+    m = problem.obs_mask[:, None]
+    r = jnp.where(m, r, 0.0)
     # zero out frozen parameter columns
     free = problem.param_free[problem.cam_idx].astype(r.dtype)  # (N,9)
-    Jc = Jc * m[..., None] * free[:, None, :]
-    Jp = Jp * m[..., None]
+    Jc = jnp.where(m[..., None], Jc, 0.0) * free[:, None, :]
+    Jp = jnp.where(m[..., None], Jp, 0.0)
     w_obs, cost_obs = robust_weights_and_cost((r**2).ravel(), loss, f_scale)
     w_obs = w_obs.reshape(r.shape)
 
@@ -287,7 +289,7 @@ def _cost_only(problem: BAProblem, cam9, X, loss: str, f_scale: float):
         cam9, X, problem.cam_idx, problem.pt_idx, problem.uv,
         problem.K0, problem.dist0, problem.fisheye, problem.inv_fx,
     )
-    r = r * problem.obs_mask.astype(r.dtype)[:, None]
+    r = jnp.where(problem.obs_mask[:, None], r, 0.0)
     _, cost_obs = robust_weights_and_cost((r**2).ravel(), loss, f_scale)
     if problem.n_constraints:
         rq = constraint_residuals(
@@ -336,6 +338,12 @@ def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh=None)
         g_p = g_p.at[flat_idx].add((Jq * rq[:, None, None]).reshape(-1, 3))
         dq = jnp.einsum("qki,qkj->qkij", Jq, Jq).reshape(-1, 3, 3)
         d_p = d_p.at[flat_idx].add(dq)
+    # A point with no unmasked observation and no constraint (shape-bucketed
+    # padding, or a fully-masked point) has an exactly-zero diagonal block;
+    # pin it with the identity so every solver backend stays well-conditioned.
+    # Its gradient is zero, so its update stays exactly zero.
+    pinned = jnp.einsum("pii->p", d_p) == 0
+    d_p = d_p + pinned[:, None, None] * jnp.eye(3, dtype=d_p.dtype)
     return g_c, g_p, d_c, d_p
 
 

@@ -344,15 +344,32 @@ class CaptureVolume:
                 constraint_arrays = (pa_idx, pa_w, pb_idx, pb_w, dists, weights)
                 logger.info(f"Adding {len(dists)} constraint rows (f_median={f_median:.0f}, pixel_sigma={pixel_sigma})")
 
+        # Bucket observation and point counts to powers of two: every filter
+        # stage (and every dataset) would otherwise force a fresh multi-second
+        # XLA compile of the LM while-loop. Padding rows carry obs_mask=False
+        # and point at a reserved tail slot; padding points start at the cloud
+        # centroid (benignly in front of the cameras) and are pinned by the
+        # solver's zero-diagonal prior, so their update is exactly zero.
+        from caliscope_tpu.ops.bucket import bucket_size, pad_rows
+
+        N_real, P_real = len(uv), len(self.world_points)
+        Nb, Pb = bucket_size(N_real), bucket_size(P_real + 1)
+        obs_mask = np.zeros(Nb, bool)
+        obs_mask[:N_real] = True
+        X0 = np.empty((Pb, 3))
+        X0[:P_real] = self.world_points.xyz
+        X0[P_real:] = self.world_points.xyz.mean(axis=0)
+
         problem = make_problem(
-            cam_idx,
-            obj_idx,
-            uv,
+            pad_rows(cam_idx, Nb),
+            pad_rows(obj_idx, Nb, fill=Pb - 1),
+            pad_rows(uv, Nb),
             views.K,
             views.dist,
             views.fisheye,
             refine_intrinsics=refine_intrinsics,
             constraints=constraint_arrays,
+            obs_mask=obs_mask,
         )
         cam9_0 = initial_cam9(self.camera_array)
         config = BAConfig(
@@ -363,8 +380,8 @@ class CaptureVolume:
             solver=solver,
             shard=shard,
         )
-        logger.info(f"Beginning bundle adjustment on {len(uv)} observations")
-        result = lm_solve(problem, cam9_0, self.world_points.xyz, config)
+        logger.info(f"Beginning bundle adjustment on {N_real} observations (bucketed to {Nb})")
+        result = lm_solve(problem, cam9_0, X0, config)
         if result.n_devices > 1:
             logger.info(
                 f"Bundle adjustment ran observation-sharded over {result.n_devices} devices"
@@ -401,7 +418,7 @@ class CaptureVolume:
         return CaptureVolume(
             camera_array=new_cameras,
             image_points=self.image_points,
-            world_points=self.world_points.with_xyz(result.X),
+            world_points=self.world_points.with_xyz(np.asarray(result.X)[:P_real]),
             constraints=self.constraints,
             _optimization_status=status,
         )
