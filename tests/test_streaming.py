@@ -225,6 +225,7 @@ class TestStreamerParitySurface:
         s.play()
         time.sleep(0.1)
         s.pause()
+        time.sleep(0.1)  # pause is asynchronous: let any in-flight frame land
         pos = s.position
         time.sleep(0.2)
         assert s.position == pos  # held
