@@ -37,6 +37,7 @@ from caliscope_tpu.estimators import VerticalEstimate, estimate_vertical  # noqa
 from caliscope_tpu.scale import CameraDistance, DepthObservation, SegmentLength  # noqa: F401
 from caliscope_tpu.targets import ArucoMarkerSet, Charuco, Chessboard  # noqa: F401
 from caliscope_tpu.tracker import Tracker  # noqa: F401
+from caliscope_tpu.trackers import ArucoTracker, CharucoTracker, ChessboardTracker  # noqa: F401
 from caliscope_tpu.volume import CaptureVolume  # noqa: F401
 from caliscope_tpu.reporting import PlainProgress, ProgressCallback, RichProgressBar
 
@@ -45,6 +46,9 @@ __all__ = [
     "ArucoMarkerSet",
     "Chessboard",
     "Tracker",
+    "CharucoTracker",
+    "ArucoTracker",
+    "ChessboardTracker",
     "ConstraintSet",
     "CameraData",
     "CameraArray",

@@ -333,6 +333,19 @@ class CameraArray:
 
     # ---- persistence -------------------------------------------------------
     @classmethod
+    def from_video_metadata(cls, videos: dict[int, "Path | str"]) -> "CameraArray":
+        """Uncalibrated cameras sized from video headers (reference
+        docs/scripting.md step 2): {cam_id: video_path} -> CameraArray with
+        resolution read from each file, no intrinsics/extrinsics yet."""
+        from caliscope_tpu.media import read_video_properties
+
+        cams = {}
+        for cid, path in videos.items():
+            props = read_video_properties(Path(path))
+            cams[int(cid)] = CameraData(cam_id=int(cid), size=props.size)
+        return cls(cams)
+
+    @classmethod
     def from_toml(cls, path: Path | str) -> "CameraArray":
         """Load from caliscope-compatible camera_array.toml (rotation stored as
         3-vector rodrigues; 3x3 legacy matrices also accepted)."""

@@ -242,3 +242,37 @@ class TestAniposelibExport:
         rvec = np.array(data["cam_2"]["rotation"])
         assert rvec.shape == (3,)
         np.testing.assert_allclose(np.asarray(so3_exp(rvec)), rig.cameras[2].rotation, atol=1e-9)
+
+
+class TestDocumentedScriptingSurface:
+    def test_reference_scripting_imports_resolve(self, tmp_path):
+        """The reference's documented import block (docs/scripting.md) must
+        work verbatim against our api/reporting modules, plus the
+        camera-array-from-videos entry point it builds on."""
+        from caliscope_tpu.api import (  # noqa: F401
+            CameraArray,
+            CaptureVolume,
+            Charuco,
+            CharucoTracker,
+            ConstraintSet,
+            calibrate_extrinsics,
+            calibrate_intrinsics,
+            extract_image_points,
+            extract_image_points_multicam,
+        )
+        from caliscope_tpu.reporting import (  # noqa: F401
+            print_camera_pair_coverage,
+            print_extrinsic_report,
+            print_intrinsic_report,
+        )
+
+        cv2 = pytest.importorskip("cv2")
+        import numpy as np
+
+        w = cv2.VideoWriter(str(tmp_path / "c0.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (96, 64))
+        for _ in range(3):
+            w.write(np.zeros((64, 96, 3), np.uint8))
+        w.release()
+        arr = CameraArray.from_video_metadata({0: tmp_path / "c0.mp4"})
+        assert arr.cameras[0].size == (96, 64)
+        assert arr.cameras[0].matrix is None  # uncalibrated, as documented
