@@ -13,11 +13,23 @@ from __future__ import annotations
 import numpy as np
 
 
-def bucket_size(n: int, floor: int = 64) -> int:
-    """Smallest power of two >= n, clamped below by `floor`."""
+def bucket_size(n: int, floor: int = 64, fine: bool = False) -> int:
+    """Smallest bucket >= n, clamped below by `floor`.
+
+    fine=False: powers of two (<=100% padding waste, 1 program per octave).
+    fine=True: the {2^k, 1.5*2^k} grid — 64, 96, 128, 192, 256, ... —
+    capping padding waste at 33% for 2 programs per octave. Use it where the
+    downstream cost is superlinear in the padded extent (the BA dense solver
+    is cubic in 3P+9C, so doubling P near the dense/Schur boundary costs far
+    more than a second compile)."""
     if n <= floor:
         return floor
-    return 1 << (int(n) - 1).bit_length()
+    p = 1 << (int(n) - 1).bit_length()
+    if fine:
+        lower = (p >> 1) + (p >> 2)  # 1.5 * 2^(k-1)
+        if n <= lower:
+            return lower
+    return p
 
 
 def pad_rows(a: np.ndarray, nb: int, fill=0.0) -> np.ndarray:

@@ -353,7 +353,7 @@ class CaptureVolume:
         from caliscope_tpu.ops.bucket import bucket_size, pad_rows
 
         N_real, P_real = len(uv), len(self.world_points)
-        Nb, Pb = bucket_size(N_real), bucket_size(P_real + 1)
+        Nb, Pb = bucket_size(N_real, fine=True), bucket_size(P_real + 1, fine=True)
         obs_mask = np.zeros(Nb, bool)
         obs_mask[:N_real] = True
         X0 = np.empty((Pb, 3))
