@@ -258,7 +258,11 @@ def extract_image_points_multicam(
             sync_for = {fi: si for si, fi in work}
             rows = []
             prog.on_video_start(cam_id, len(work))
-            with FrameSource(path, cam_id, wanted_indices=set(sync_for), pixel_format=tracker.pixel_format) as src:
+            budget = max(1, (os.cpu_count() or 4) // max(len(video_paths), 1))
+            with FrameSource(
+                path, cam_id, wanted_indices=set(sync_for),
+                pixel_format=tracker.pixel_format, decode_threads=budget,
+            ) as src:
                 processed = 0
                 for raw, pkt in _iter_tracked_batched(src, tracker, cam_id, rotations.get(cam_id, 0)):
                     si = sync_for[raw.frame_index]

@@ -95,14 +95,24 @@ class FrameSource:
         pixel_format: PixelFormat = PixelFormat.BGR,
         frame_times: Optional[dict[int, float]] = None,
         fps_fallback: float = 30.0,
+        decode_threads: Optional[int] = None,
     ):
+        """decode_threads caps the decoder's internal thread pool — the
+        reference's per-stream thread budget (frame_source.py:28-76,
+        cpu_count // n_cams) so N concurrent camera streams don't each spawn
+        a full core-count ffmpeg pool. None keeps the decoder default."""
         cv2 = _require_cv2()
         self.path = Path(path)
         self.cam_id = cam_id
         self.pixel_format = pixel_format
         self.wanted_indices = wanted_indices
         self._frame_times = frame_times
-        self._cap = cv2.VideoCapture(str(self.path))
+        if decode_threads is not None and hasattr(cv2, "CAP_PROP_N_THREADS"):
+            self._cap = cv2.VideoCapture(
+                str(self.path), cv2.CAP_ANY, [cv2.CAP_PROP_N_THREADS, max(1, int(decode_threads))]
+            )
+        else:
+            self._cap = cv2.VideoCapture(str(self.path))
         if not self._cap.isOpened():
             raise CalibrationError(f"Could not open video: {self.path}")
         self._fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or fps_fallback
