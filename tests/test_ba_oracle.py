@@ -1,0 +1,219 @@
+"""Bundle-adjustment oracle: EXECUTE the reference's scipy-TRF solver on the
+identical problem and require our jitted LM to land on the same solution.
+
+The pose-network oracle (test_oracles.py) already pins the bootstrap against
+the reference; this closes the loop on the other half of the pipeline — the
+solver itself. Both engines get byte-identical inputs (cameras, observations,
+triangulated points from OUR triangulation) and both solutions are scored
+with OUR reprojection metric, so the comparison cannot be gamed by metric
+differences. Reference entry point: src/caliscope/core/capture_volume.py:322
+(scipy.optimize.least_squares, method=trf, analytic sparse Jacobian).
+
+The reference needs pandas/scipy (present in the image) and rtoml (absent) —
+a tomllib-backed shim covers the read-side API its imports touch.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF_SRC = Path("/root/reference/src")
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    pd = pytest.importorskip("pandas")
+    pytest.importorskip("scipy")
+    if not REF_SRC.exists():
+        pytest.skip("reference checkout not available")
+    if "rtoml" not in sys.modules:
+        import tomllib
+
+        rtoml = types.ModuleType("rtoml")
+        rtoml.load = lambda f: tomllib.loads(
+            f.read_text() if hasattr(f, "read_text") else f.read()
+        )
+        rtoml.loads = tomllib.loads
+        sys.modules["rtoml"] = rtoml
+    if str(REF_SRC) not in sys.path:
+        sys.path.insert(0, str(REF_SRC))
+    from caliscope.cameras.camera_array import CameraArray as RefCameraArray
+    from caliscope.cameras.camera_array import CameraData as RefCameraData
+    from caliscope.core.capture_volume import CaptureVolume as RefCaptureVolume
+    from caliscope.core.point_data import ImagePoints as RefImagePoints
+    from caliscope.core.point_data import WorldPoints as RefWorldPoints
+
+    return {
+        "pd": pd,
+        "CameraArray": RefCameraArray,
+        "CameraData": RefCameraData,
+        "CaptureVolume": RefCaptureVolume,
+        "ImagePoints": RefImagePoints,
+        "WorldPoints": RefWorldPoints,
+    }
+
+
+def _shared_problem():
+    """One bootstrapped-but-unoptimized volume both engines will refine."""
+    from caliscope_tpu.synthetic.factories import default_ring_scene
+    from caliscope_tpu.volume import CaptureVolume
+
+    scene = default_ring_scene(n_cameras=3, n_frames=10, seed=21)
+    vol = CaptureVolume.bootstrap(scene.image_points_noisy(), scene.cameras)
+    return vol
+
+
+def _to_reference_volume(vol, ref):
+    pd = ref["pd"]
+    cams = {}
+    for cid, c in vol.camera_array.cameras.items():
+        cams[cid] = ref["CameraData"](
+            cam_id=cid,
+            size=tuple(c.size),
+            matrix=np.array(c.matrix, dtype=float),
+            distortions=np.array(c.distortions, dtype=float),
+            rotation=np.array(c.rotation, dtype=float),
+            translation=np.array(c.translation, dtype=float),
+            fisheye=bool(c.fisheye),
+        )
+    ip = vol.image_points
+    ip_df = pd.DataFrame(
+        {
+            "sync_index": ip.sync_index.astype(int),
+            "cam_id": ip.cam_id.astype(int),
+            "object_id": ip.object_id.astype(int),
+            "keypoint_id": ip.keypoint_id.astype(int),
+            "img_loc_x": ip.img_xy[:, 0],
+            "img_loc_y": ip.img_xy[:, 1],
+            "obj_loc_x": ip.obj_loc[:, 0],
+            "obj_loc_y": ip.obj_loc[:, 1],
+            "obj_loc_z": ip.obj_loc[:, 2],
+        }
+    )
+    wp = vol.world_points
+    wp_df = pd.DataFrame(
+        {
+            "sync_index": wp.sync_index.astype(int),
+            "object_id": wp.object_id.astype(int),
+            "keypoint_id": wp.keypoint_id.astype(int),
+            "x_coord": wp.xyz[:, 0],
+            "y_coord": wp.xyz[:, 1],
+            "z_coord": wp.xyz[:, 2],
+            "frame_time": np.nan,
+        }
+    )
+    return ref["CaptureVolume"](
+        camera_array=ref["CameraArray"](cameras=cams),
+        image_points=ref["ImagePoints"](ip_df),
+        world_points=ref["WorldPoints"](wp_df),
+    )
+
+
+def _our_rmse_of(vol, ref_volume):
+    """Score the reference's converged solution with OUR reprojection metric
+    by copying its cameras + points back into our CaptureVolume."""
+    from caliscope_tpu.volume import CaptureVolume
+
+    cams = vol.camera_array.copy()
+    for cid, rc in ref_volume.camera_array.cameras.items():
+        cams.cameras[cid].rotation = np.array(rc.rotation, dtype=float)
+        cams.cameras[cid].translation = np.array(rc.translation, dtype=float).reshape(3)
+        cams.cameras[cid].matrix = np.array(rc.matrix, dtype=float)
+        cams.cameras[cid].distortions = np.array(rc.distortions, dtype=float).ravel()
+    df = ref_volume.world_points.df
+    xyz = df[["x_coord", "y_coord", "z_coord"]].to_numpy()
+    back = CaptureVolume(
+        camera_array=cams,
+        image_points=vol.image_points,
+        world_points=vol.world_points.with_xyz(xyz),
+        constraints=vol.constraints,
+    )
+    return back, back.reprojection_report.overall_rmse
+
+
+@pytest.fixture(scope="module")
+def solved_pair(reference_modules):
+    """Both engines run once on the identical bootstrapped problem."""
+    vol = _shared_problem()
+    ours = vol.optimize()
+    ref_opt = _to_reference_volume(vol, reference_modules).optimize()
+    return vol, ours, ref_opt
+
+
+class TestBundleAdjustmentOracle:
+    def test_matches_scipy_trf_on_identical_problem(self, reference_modules, solved_pair):
+        vol, ours, ref_opt = solved_pair
+        rmse_initial = vol.reprojection_report.overall_rmse
+        rmse_ours = ours.reprojection_report.overall_rmse
+        _, rmse_ref = _our_rmse_of(vol, ref_opt)
+
+        # Both must improve on the bootstrap and agree at convergence: the
+        # problem has one basin here, so independent solvers land together.
+        assert rmse_ours < rmse_initial
+        assert rmse_ref < rmse_initial
+        assert rmse_ours == pytest.approx(rmse_ref, rel=0.02), (
+            f"ours {rmse_ours:.5f}px vs scipy-TRF {rmse_ref:.5f}px"
+        )
+
+    def test_camera_geometry_agrees_with_scipy_trf(self, reference_modules, solved_pair):
+        vol, ours, ref_opt = solved_pair
+        back, _ = _our_rmse_of(vol, ref_opt)
+
+        for cid in ours.camera_array.posed_cameras:
+            c_ours = ours.camera_array.cameras[cid]
+            c_ref = back.camera_array.cameras[cid]
+            center_ours = -c_ours.rotation.T @ c_ours.translation
+            center_ref = -c_ref.rotation.T @ c_ref.translation
+            assert np.linalg.norm(center_ours - center_ref) < 2e-3, (
+                f"camera {cid} centers differ by "
+                f"{np.linalg.norm(center_ours - center_ref) * 1000:.2f} mm"
+            )
+            rel = c_ours.rotation @ c_ref.rotation.T
+            angle = np.degrees(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1)))
+            assert angle < 0.1, f"camera {cid} rotations differ by {angle:.4f} deg"
+
+    @pytest.mark.slow
+    def test_soft_l1_agrees_under_contamination(self, reference_modules):
+        """Same robust-loss semantics: inject gross outliers, run both
+        engines with soft_l1 at 1px scale, solutions must still agree."""
+        vol = _shared_problem()
+        rng = np.random.default_rng(5)
+        ip = vol.image_points
+        n_bad = max(4, len(ip) // 50)
+        bad = rng.choice(len(ip), size=n_bad, replace=False)
+        xy = ip.img_xy.copy()
+        xy[bad] += rng.uniform(30, 80, size=(n_bad, 2)) * rng.choice([-1, 1], (n_bad, 2))
+        from caliscope_tpu.observations import ImagePoints
+        from caliscope_tpu.volume import CaptureVolume
+
+        dirty = CaptureVolume(
+            camera_array=vol.camera_array,
+            image_points=ImagePoints(
+                sync_index=ip.sync_index,
+                cam_id=ip.cam_id,
+                object_id=ip.object_id,
+                keypoint_id=ip.keypoint_id,
+                img_xy=xy,
+                obj_loc=ip.obj_loc,
+                frame_time=ip.frame_time,
+            ),
+            world_points=vol.world_points,
+            constraints=vol.constraints,
+        )
+        f = dirty.pixel_f_scale(1.0)
+        # IRLS on heavy contamination converges slowly in both engines; give
+        # headroom and compare the solutions, not the termination flags
+        ours = dirty.optimize(loss="soft_l1", f_scale=f, max_nfev=600, strict=False)
+        ref_opt = _to_reference_volume(dirty, reference_modules).optimize(
+            loss="soft_l1", f_scale=f
+        )
+        _, rmse_ref = _our_rmse_of(dirty, ref_opt)
+        rmse_ours = ours.reprojection_report.overall_rmse
+        assert rmse_ours == pytest.approx(rmse_ref, rel=0.05), (
+            f"robust: ours {rmse_ours:.5f}px vs scipy-TRF {rmse_ref:.5f}px"
+        )
