@@ -217,3 +217,37 @@ class TestBundleAdjustmentOracle:
         assert rmse_ours == pytest.approx(rmse_ref, rel=0.05), (
             f"robust: ours {rmse_ours:.5f}px vs scipy-TRF {rmse_ref:.5f}px"
         )
+
+
+class TestFilterSemanticsOracle:
+    def test_percentile_filter_keeps_the_same_observations(self, reference_modules, solved_pair):
+        """The production filter (worst 2.5% per camera, safety floor) must
+        retain the same observation keyset as the reference's on the same
+        optimized volume — the thresholds come from each engine's own
+        reprojection report, so this also cross-checks the error metric."""
+        vol, ours, ref_opt = solved_pair
+        ours_f = ours.filter_by_percentile_error(2.5)
+
+        # mirror our converged solution into the reference and filter there
+        ref_mirror = _to_reference_volume(ours, reference_modules)
+        ref_f = ref_mirror.filter_by_percentile_error(2.5)
+
+        def keyset(sync, cam, obj, kp):
+            return set(zip(map(int, sync), map(int, cam), map(int, obj), map(int, kp)))
+
+        ours_keys = keyset(
+            ours_f.image_points.sync_index,
+            ours_f.image_points.cam_id,
+            ours_f.image_points.object_id,
+            ours_f.image_points.keypoint_id,
+        )
+        rdf = ref_f.image_points.df
+        ref_keys = keyset(rdf["sync_index"], rdf["cam_id"], rdf["object_id"], rdf["keypoint_id"])
+        only_ours = ours_keys - ref_keys
+        only_ref = ref_keys - ours_keys
+        # identical solutions -> identical errors; allow a hair of slack for
+        # observations sitting exactly on the percentile boundary
+        slack = max(2, len(ours_keys) // 500)
+        assert len(only_ours) <= slack and len(only_ref) <= slack, (
+            f"filter keysets diverge: {len(only_ours)} only-ours, {len(only_ref)} only-reference"
+        )
