@@ -251,3 +251,59 @@ class TestFilterSemanticsOracle:
         assert len(only_ours) <= slack and len(only_ref) <= slack, (
             f"filter keysets diverge: {len(only_ours)} only-ours, {len(only_ref)} only-reference"
         )
+
+
+class TestAnchoringOracle:
+    """The anchoring suite was written from scratch (different code, same
+    contract — reference capture_volume.py:833-1331); executing the
+    reference on the identical volume proves the contract held."""
+
+    def _pose_delta(self, ours_vol, ref_vol):
+        worst_center, worst_angle = 0.0, 0.0
+        for cid, c in ours_vol.camera_array.posed_cameras.items():
+            rc = ref_vol.camera_array.cameras[cid]
+            ours_center = -c.rotation.T @ c.translation
+            ref_center = -np.asarray(rc.rotation).T @ np.asarray(rc.translation).reshape(3)
+            worst_center = max(worst_center, float(np.linalg.norm(ours_center - ref_center)))
+            rel = c.rotation @ np.asarray(rc.rotation).T
+            ang = np.degrees(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1)))
+            worst_angle = max(worst_angle, float(ang))
+        return worst_center, worst_angle
+
+    def test_align_rotate_translate_ground_center_match(self, reference_modules, solved_pair):
+        _vol, ours, _ref = solved_pair
+        ref_mirror = _to_reference_volume(ours, reference_modules)
+
+        sync = int(ours.image_points.sync_index[0])
+        ours_chain = (
+            ours.align_to_object(sync, object_id=0)
+            .rotate("z", 30.0)
+            .translate(x=0.1, y=-0.2, z=0.05)
+            .grounded()
+            .centered()
+        )
+        ref_chain = (
+            ref_mirror.align_to_object(sync, object_id=0)
+            .rotate("z", 30.0)
+            .translate(x=0.1, y=-0.2, z=0.05)
+            .grounded()
+            .centered()
+        )
+        dc, da = self._pose_delta(ours_chain, ref_chain)
+        assert dc < 1e-6, f"camera centers diverge by {dc * 1000:.4f} mm after anchoring chain"
+        assert da < 1e-4, f"camera rotations diverge by {da:.6f} deg after anchoring chain"
+
+    def test_scaled_camera_distance_cue_matches(self, reference_modules, solved_pair):
+        _vol, ours, _ref = solved_pair
+        import caliscope.core.scale_cues as ref_cues
+
+        from caliscope_tpu.scale import CameraDistance
+
+        cams = sorted(ours.camera_array.posed_cameras)
+        a, b = cams[0], cams[1]
+        ours_scaled = ours.scaled(CameraDistance(cam_a=a, cam_b=b, meters=3.21))
+        ref_scaled = _to_reference_volume(ours, reference_modules).scaled(
+            ref_cues.CameraDistance(cam_a=a, cam_b=b, meters=3.21)
+        )
+        dc, da = self._pose_delta(ours_scaled, ref_scaled)
+        assert dc < 1e-6 and da < 1e-4, f"scaled() diverges: {dc * 1000:.4f} mm / {da:.6f} deg"
