@@ -307,3 +307,83 @@ class TestAnchoringOracle:
         )
         dc, da = self._pose_delta(ours_scaled, ref_scaled)
         assert dc < 1e-6 and da < 1e-4, f"scaled() diverges: {dc * 1000:.4f} mm / {da:.6f} deg"
+
+
+class TestTrcExportOracle:
+    def test_trc_headers_match_and_data_is_correct(self, reference_modules, tmp_path):
+        """OpenSim interop, checked against the executed reference writer.
+
+        Headers must match field-for-field. Data rows are checked against the
+        SOURCE xyz instead of the reference's rows: the reference writer has
+        a column-ordering bug (trc_export.py:58 inserts mean_frame_time into
+        the alphabetized marker columns, then :77 slices columns[2:], which
+        re-includes Time and silently drops the first marker's X) — its data
+        section emits Time twice and loses one coordinate. We verify our
+        writer does NOT reproduce that shift.
+        """
+        pd = reference_modules["pd"]
+        import caliscope.export.trc_export as ref_trc
+
+        from caliscope_tpu.export.trc import xyz_to_trc
+        from caliscope_tpu.observations import WorldPoints
+
+        rng = np.random.default_rng(9)
+        n_frames, n_kp = 12, 3
+        sync = np.repeat(np.arange(n_frames), n_kp)
+        kp = np.tile(np.arange(n_kp), n_frames)
+        xyz = rng.normal(size=(n_frames * n_kp, 3))
+        ft = sync / 30.0
+
+        class NamedTracker:
+            name = "TEST"
+
+            def get_point_name(self, keypoint_id):
+                return f"kp{int(keypoint_id)}"
+
+        wp = WorldPoints(
+            sync_index=sync, object_id=np.zeros_like(sync), keypoint_id=kp, xyz=xyz, frame_time=ft
+        )
+        (tmp_path / "a").mkdir()
+        (tmp_path / "b").mkdir()
+        ours_path = xyz_to_trc(wp, NamedTracker(), tmp_path / "a" / "out.trc")
+        ref_df = pd.DataFrame(
+            {
+                "sync_index": sync,
+                "object_id": 0,
+                "keypoint_id": kp,
+                "x_coord": xyz[:, 0],
+                "y_coord": xyz[:, 1],
+                "z_coord": xyz[:, 2],
+                "frame_time": ft,
+            }
+        )
+        ref_trc.xyz_to_trc(ref_df, NamedTracker(), tmp_path / "b" / "out.trc")
+        ours_lines = Path(ours_path).read_text().splitlines()
+        ref_lines = (tmp_path / "b" / "out.trc").read_text().splitlines()
+
+        # headers field-for-field identical (line 0 embeds the output path)
+        norm = lambda line: line.rstrip("\t ").replace(str(tmp_path / "a"), "P").replace(
+            str(tmp_path / "b"), "P"
+        )
+        for i in range(5):
+            assert norm(ours_lines[i]) == norm(ref_lines[i]), (
+                f"header line {i} differs:\n ours: {ours_lines[i]!r}\n  ref: {ref_lines[i]!r}"
+            )
+
+        # our data rows: Frame, Time, then exactly 3 coords per marker that
+        # reproduce the source xyz in alphabetical marker order
+        data = [l.split("\t") for l in ours_lines[6:] if l.strip()]
+        assert len(data) == n_frames
+        for f_i, row in enumerate(data):
+            assert len(row) == 2 + 3 * n_kp, f"row {f_i} has {len(row)} fields"
+            assert int(row[0]) == f_i
+            assert float(row[1]) == pytest.approx(f_i / 30.0, abs=5e-4)
+            coords = np.array([float(v) for v in row[2:]]).reshape(n_kp, 3)
+            np.testing.assert_allclose(coords, xyz[f_i * n_kp : (f_i + 1) * n_kp], atol=1e-6)
+
+        # and the reference bug is real + not reproduced: its data rows
+        # duplicate the Time field; ours must not
+        ref_row = ref_lines[6].split("\t")
+        ours_row = ours_lines[6].split("\t")
+        assert ref_row[1] == ref_row[2], "reference writer changed: revisit this oracle"
+        assert ours_row[1] != ours_row[2] or float(ours_row[2]) != float(ours_row[1])
