@@ -387,3 +387,40 @@ class TestTrcExportOracle:
         ours_row = ours_lines[6].split("\t")
         assert ref_row[1] == ref_row[2], "reference writer changed: revisit this oracle"
         assert ours_row[1] != ours_row[2] or float(ours_row[2]) != float(ours_row[1])
+
+
+class TestAniposelibExportOracle:
+    def test_aniposelib_toml_matches_reference_writer(self, reference_modules, solved_pair, tmp_path):
+        """Pose2Sim/anipose interop: both writers must produce semantically
+        identical cam_N sections (name/size/matrix/distortions/rotation as
+        Rodrigues/translation) for the same calibrated rig."""
+        import tomllib
+
+        _vol, ours, _ref = solved_pair
+        ours_path = tmp_path / "ours_anipose.toml"
+        ours.camera_array.to_aniposelib_toml(ours_path)
+
+        # reference writer needs rtoml.dump; lend it our first-party emitter
+        import caliscope.persistence  # noqa: F401 — ensure the module's rtoml ref exists
+
+        from caliscope_tpu.persistence import toml_dumps
+
+        rtoml_shim = sys.modules["rtoml"]
+        if not hasattr(rtoml_shim, "dump"):
+            rtoml_shim.dump = lambda data, f: f.write(toml_dumps(data))
+        ref_mirror = _to_reference_volume(ours, reference_modules)
+        ref_path = tmp_path / "ref_anipose.toml"
+        ref_mirror.camera_array.to_aniposelib_toml(ref_path)
+
+        ours_data = tomllib.loads(ours_path.read_text())
+        ref_data = tomllib.loads(ref_path.read_text())
+        # metadata sections may differ; every cam_N section must agree
+        cam_keys = {k for k in ref_data if k.startswith("cam_")}
+        assert cam_keys and cam_keys == {k for k in ours_data if k.startswith("cam_")}
+        for k in sorted(cam_keys):
+            o, r = ours_data[k], ref_data[k]
+            assert o["name"] == r["name"] and list(o["size"]) == list(r["size"])
+            np.testing.assert_allclose(o["matrix"], r["matrix"], atol=1e-12)
+            np.testing.assert_allclose(o["distortions"], r["distortions"], atol=1e-12)
+            np.testing.assert_allclose(o["rotation"], r["rotation"], atol=1e-9)
+            np.testing.assert_allclose(o["translation"], r["translation"], atol=1e-12)
