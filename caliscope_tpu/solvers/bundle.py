@@ -915,9 +915,19 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
         cam9, X, cost0, cost, it, done, gnorm = runner(cam9_d, X_d, lb_d, ub_d)
     else:
         cam9, X, cost0, cost, it, done, gnorm = _lm_run(problem, cam9_d, X_d, lb_d, ub_d, **opts)
+
+    def to_host(a):
+        # Multi-process meshes: point-axis outputs stay sharded across
+        # processes (deliberately — see _pshard); gather before fetching.
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        return np.asarray(a)
+
     return BAResult(
-        cam9=np.asarray(cam9),
-        X=np.asarray(X),
+        cam9=to_host(cam9),
+        X=to_host(X),
         cost_initial=float(cost0),
         cost_final=float(cost),
         n_iterations=int(it),
