@@ -205,18 +205,19 @@ class TestStreamerParitySurface:
         s.play()
         time.sleep(0.15)
         s.update_tracker(DotTracker())
-        got_tracked = []
+        # one in-flight BGR frame may still be tracked before the worker sees
+        # the reopen flag; wait for the first post-reopen (GRAY) frame
+        gray = None
         deadline = time.time() + 10
-        while time.time() < deadline and not got_tracked:
+        while time.time() < deadline and gray is None:
             try:
                 item = q.get(timeout=1.0)
             except Empty:
                 continue
-            if item is not None and hasattr(item, "points"):
-                got_tracked.append(item)
+            if item is not None and hasattr(item, "points") and item.packet.frame.ndim == 2:
+                gray = item
         s.stop()
-        assert got_tracked, "no tracked frames after update_tracker"
-        assert got_tracked[0].packet.frame.ndim == 2  # GRAY frames after the swap
+        assert gray is not None, "no GRAY tracked frames after update_tracker"
 
     def test_unpause_and_close_aliases(self, tmp_path):
         rec = _make_recording(tmp_path, cam_ids=(0,), n_frames=20)
