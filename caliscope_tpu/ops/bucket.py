@@ -17,18 +17,21 @@ def bucket_size(n: int, floor: int = 64, fine: bool = False) -> int:
     """Smallest bucket >= n, clamped below by `floor`.
 
     fine=False: powers of two (<=100% padding waste, 1 program per octave).
-    fine=True: the {2^k, 1.5*2^k} grid — 64, 96, 128, 192, 256, ... —
-    capping padding waste at 33% for 2 programs per octave. Use it where the
-    downstream cost is superlinear in the padded extent (the BA dense solver
-    is cubic in 3P+9C, so doubling P near the dense/Schur boundary costs far
-    more than a second compile)."""
+    fine=True: quarter-octave grid {2^k, 1.25*2^k, 1.5*2^k, 1.75*2^k} —
+    64, 80, 96, 112, 128, 160, ... — capping padding waste at 25% for at
+    most 4 programs per octave. Use it where the downstream cost is
+    superlinear in the padded extent (the BA dense solver is cubic in
+    3P+9C) or the extent is large enough that waste dominates compiles
+    (the canonical 141k-observation problem)."""
     if n <= floor:
         return floor
     p = 1 << (int(n) - 1).bit_length()
     if fine:
-        lower = (p >> 1) + (p >> 2)  # 1.5 * 2^(k-1)
-        if n <= lower:
-            return lower
+        half = p >> 1  # 2^(k-1); n > half by construction
+        for quarters in (5, 6, 7):  # 1.25x, 1.5x, 1.75x of 2^(k-1)
+            step = (half * quarters) >> 2
+            if n <= step:
+                return step
     return p
 
 
