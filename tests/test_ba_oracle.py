@@ -424,3 +424,90 @@ class TestAniposelibExportOracle:
             np.testing.assert_allclose(o["distortions"], r["distortions"], atol=1e-12)
             np.testing.assert_allclose(o["rotation"], r["rotation"], atol=1e-9)
             np.testing.assert_allclose(o["translation"], r["translation"], atol=1e-12)
+
+
+class TestEpipolarBootstrapOracle:
+    @pytest.mark.slow
+    def test_markerless_rig_matches_reference_epipolar_builder(self, reference_modules):
+        """Markerless bootstrap cross-check: the reference's cv2-based
+        essential-matrix builder (findEssentialMat/recoverPose RANSAC,
+        epipolar_pose_builder.py:281) and our vmapped 8-point RANSAC run on
+        identical correspondences; the recovered rigs must agree up to the
+        path's inherent scale gauge (unit scaffold baseline both sides)."""
+        from caliscope.core.bootstrap_pose.build_paired_pose_network import (
+            build_paired_pose_network as ref_build,
+        )
+
+        from caliscope_tpu.ops.similarity import umeyama
+        from caliscope_tpu.solvers.pose_network import build_pose_network
+        from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
+        from caliscope_tpu.synthetic.factories import default_ring_scene
+
+        scene = default_ring_scene(noise_sigma_px=0.5, n_frames=25)
+        ip = scene.image_points_noisy()
+        ip = type(ip)(
+            sync_index=ip.sync_index,
+            cam_id=ip.cam_id,
+            object_id=ip.object_id,
+            keypoint_id=ip.keypoint_id,
+            img_xy=ip.img_xy,
+            obj_loc=np.full_like(ip.obj_loc, np.nan),
+            frame_time=ip.frame_time,
+        )
+        cams = strip_extrinsics(scene.cameras)
+
+        ours_net = build_pose_network(ip, cams)
+        ours_cams = cams.copy()
+        ours_net.apply_to(ours_cams)
+
+        # reference side: identical observations, markerless (NaN obj_loc)
+        pd = reference_modules["pd"]
+        ref_ip = reference_modules["ImagePoints"](
+            pd.DataFrame(
+                {
+                    "sync_index": ip.sync_index.astype(int),
+                    "cam_id": ip.cam_id.astype(int),
+                    "object_id": ip.object_id.astype(int),
+                    "keypoint_id": ip.keypoint_id.astype(int),
+                    "img_loc_x": ip.img_xy[:, 0],
+                    "img_loc_y": ip.img_xy[:, 1],
+                    "obj_loc_x": np.nan,
+                    "obj_loc_y": np.nan,
+                    "obj_loc_z": np.nan,
+                }
+            )
+        )
+        ref_cams = reference_modules["CameraArray"](
+            cameras={
+                cid: reference_modules["CameraData"](
+                    cam_id=cid,
+                    size=tuple(c.size),
+                    matrix=np.array(c.matrix, dtype=float),
+                    distortions=np.array(c.distortions, dtype=float),
+                )
+                for cid, c in cams.cameras.items()
+            }
+        )
+        ref_net = ref_build(ref_ip, ref_cams)
+        ref_net.apply_to(ref_cams)
+
+        centers_ours = {
+            cid: -c.rotation.T @ c.translation for cid, c in ours_cams.posed_cameras.items()
+        }
+        centers_ref = {
+            cid: -np.asarray(c.rotation).T @ np.asarray(c.translation).reshape(3)
+            for cid, c in ref_cams.cameras.items()
+            if c.rotation is not None and c.translation is not None
+        }
+        ids = sorted(set(centers_ours) & set(centers_ref))
+        assert len(ids) == len(cams.cameras), f"rigs pose different cameras: {ids}"
+        src = np.array([centers_ours[c] for c in ids])
+        dst = np.array([centers_ref[c] for c in ids])
+        s, R, t = umeyama(src, dst, with_scale=True)
+        aligned = float(np.asarray(s)) * (np.asarray(R) @ src.T).T + np.asarray(t)
+        errs = np.linalg.norm(aligned - dst, axis=1)
+        # both rigs are noisy pre-BA estimates of the same geometry
+        rig_diameter = float(np.linalg.norm(dst.max(0) - dst.min(0)))
+        assert errs.max() < 0.03 * rig_diameter, (
+            f"rigs disagree: max {errs.max():.4f} on diameter {rig_diameter:.3f}"
+        )
