@@ -83,6 +83,8 @@ class CalibrationQualityTabs(QTabWidget):
         self.scale_summary = QLabel("No scale cues.")
         self.scale_summary.setWordWrap(True)
         sl.addWidget(self.scale_summary)
+        self.scale_chart = ScaleDetailChart()
+        sl.addWidget(self.scale_chart)
         self.addTab(scale, "Scale")
 
     def update_from_volume(self, volume) -> None:
@@ -114,6 +116,7 @@ class CalibrationQualityTabs(QTabWidget):
             self.rigidity_summary.setText("No constraints in play.")
 
         sr = volume.compute_volumetric_scale_accuracy()
+        self.scale_chart.set_report(sr)
         if sr.n_frames_sampled:
             worst = sr.worst_frame
             self.scale_summary.setText(
@@ -124,3 +127,104 @@ class CalibrationQualityTabs(QTabWidget):
             )
         else:
             self.scale_summary.setText("No scale cues (no known-geometry targets observed).")
+
+
+class ScaleDetailChart(QLabel):
+    """Expanded per-frame scale-accuracy chart (reference
+    scale_detail_dialog.py renders with QPainter; this rasterizes to numpy).
+
+    Area chart of per-frame distance RMSE (mm) over the frame slider's
+    position domain, with a vertical cursor and click-to-seek: clicking a
+    column emits `frame_clicked(sync_index)`. `frame_at(x)` / `value_at(x)`
+    expose the hover data (the real-Qt tooltip and the tests share them).
+    """
+
+    def __init__(self, parent=None, width: int = 560, height: int = 180):
+        super().__init__(parent)
+        self._w, self._h = width, height
+        self._sync: np.ndarray = np.zeros(0, int)
+        self._mm: np.ndarray = np.zeros(0)
+        self._cursor: int | None = None
+        self.frame_clicked = _make_signal()
+
+    def set_report(self, report) -> None:
+        """report: VolumetricScaleReport; one column per sampled frame."""
+        frames = sorted(report.frame_errors, key=lambda fe: fe.sync_index)
+        self._sync = np.array([fe.sync_index for fe in frames], int)
+        self._mm = np.array([fe.distance_rmse_mm for fe in frames])
+        self._render()
+
+    def set_cursor(self, sync_index: int | None) -> None:
+        self._cursor = sync_index
+        self._render()
+
+    # ---- hover/click data (shared by real-Qt events and headless tests) ----
+    def frame_at(self, x: int) -> int | None:
+        if len(self._sync) == 0 or not (0 <= x < self._w):
+            return None
+        i = min(int(x * len(self._sync) / self._w), len(self._sync) - 1)
+        return int(self._sync[i])
+
+    def value_at(self, x: int) -> float | None:
+        if len(self._mm) == 0 or not (0 <= x < self._w):
+            return None
+        i = min(int(x * len(self._mm) / self._w), len(self._mm) - 1)
+        return float(self._mm[i])
+
+    def click(self, x: int) -> None:
+        """Programmatic click-to-seek (mousePressEvent routes here)."""
+        f = self.frame_at(x)
+        if f is not None:
+            self.frame_clicked.emit(f)
+
+    def mousePressEvent(self, event):  # pragma: no cover - real Qt only
+        try:
+            self.click(int(event.position().x()))
+        except Exception:
+            pass
+
+    def _render(self) -> None:
+        img = np.zeros((self._h, self._w, 3), np.uint8)
+        img[:] = (18, 20, 26)
+        n = len(self._mm)
+        if n:
+            # horizontal gridlines at quartiles of the value range
+            peak = max(float(self._mm.max()), 1e-9)
+            for q in (0.25, 0.5, 0.75):
+                y = self._h - 1 - int((self._h - 12) * q)
+                img[y, :] = (40, 44, 56)
+            col_w = max(self._w // n, 1)
+            for i, v in enumerate(self._mm):
+                bar = int(round((self._h - 12) * v / peak))
+                x0 = i * self._w // n
+                x1 = min(x0 + col_w, self._w)
+                if bar:
+                    img[self._h - bar :, x0:x1] = (86, 156, 214)
+            if self._cursor is not None and self._cursor in set(self._sync.tolist()):
+                i = int(np.where(self._sync == self._cursor)[0][0])
+                x = min(i * self._w // n + col_w // 2, self._w - 1)
+                img[:, x] = (220, 163, 86)
+        self._chart = img
+        self.setPixmap(to_pixmap(img))
+
+    @property
+    def chart_array(self) -> np.ndarray:
+        """Rendered RGB array (headless-assertable)."""
+        return getattr(self, "_chart", np.zeros((self._h, self._w, 3), np.uint8))
+
+
+def _make_signal():
+    """A tiny connect/emit signal that works under real Qt and headless."""
+
+    class _Sig:
+        def __init__(self):
+            self._subs = []
+
+        def connect(self, fn):
+            self._subs.append(fn)
+
+        def emit(self, *a):
+            for fn in list(self._subs):
+                fn(*a)
+
+    return _Sig()

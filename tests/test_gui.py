@@ -200,6 +200,35 @@ class TestWidgets:
         assert tabs.rmse_table.rowCount() == len(vol.camera_array.cameras)
         assert tabs.sparkline.bin_counts.sum() > 0
 
+    def test_scale_detail_chart_click_to_seek(self, app, calibrated_volume):
+        """The expanded scale chart (reference scale_detail_dialog.py):
+        per-frame columns, cursor, hover values, click emits the frame."""
+        from caliscope_tpu.gui.widgets import CalibrationQualityTabs
+
+        vol, _, _ = calibrated_volume
+        tabs = CalibrationQualityTabs()
+        tabs.update_from_volume(vol)
+        chart = tabs.scale_chart
+        sr = vol.compute_volumetric_scale_accuracy()
+        assert sr.n_frames_sampled > 0
+        # chart rendered with one column per sampled frame
+        img = chart.chart_array
+        assert (img != img[0, 0]).any(), "chart should not be a flat field"
+        # hover data maps pixels to frames/values
+        mid = chart._w // 2
+        assert chart.frame_at(mid) is not None
+        assert chart.value_at(mid) is not None and chart.value_at(mid) >= 0
+        assert chart.frame_at(-1) is None and chart.frame_at(chart._w + 5) is None
+        # click-to-seek emits the sync index under the pixel
+        clicked = []
+        chart.frame_clicked.connect(clicked.append)
+        chart.click(mid)
+        assert clicked == [chart.frame_at(mid)]
+        # cursor draws a distinct vertical marker
+        chart.set_cursor(clicked[0])
+        with_cursor = chart.chart_array
+        assert (with_cursor != img).any()
+
     def test_playback_3d_renders_and_scrubs(self, app, calibrated_volume):
         from caliscope_tpu.gui.widgets import Playback3DWidget
 
