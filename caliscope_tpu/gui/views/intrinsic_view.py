@@ -36,6 +36,12 @@ class IntrinsicCalibrationView(QWidget):
         row.addWidget(self.run_btn)
         layout.addLayout(row)
 
+        from caliscope_tpu.gui.widgets import CameraThumbnailCard
+
+        self.camera_card = CameraThumbnailCard()
+        layout.addWidget(self.camera_card)
+        self.cam_box.currentTextChanged.connect(lambda _t: self._refresh_card())
+
         self.progress = QProgressBar()
         layout.addWidget(self.progress)
         self.result = QLabel("")
@@ -56,7 +62,13 @@ class IntrinsicCalibrationView(QWidget):
         if ws:
             for cid in ws.get_cam_ids():
                 self.cam_box.addItem(str(cid))
+            self._refresh_card()
             self._show_existing()
+
+    def _refresh_card(self) -> None:
+        ws = self.window.ws
+        if ws is not None and self.cam_box.currentText():
+            self.camera_card.set_camera(ws, int(self.cam_box.currentText()))
 
     def _show_existing(self) -> None:
         """Surface already-calibrated intrinsics when reopening a project."""

@@ -1,3 +1,4 @@
+from caliscope_tpu.gui.widgets.camera_card import CameraThumbnailCard
 from caliscope_tpu.gui.widgets.config_panels import ArucoSetPanel, CharucoConfigPanel, ChessboardConfigPanel
 from caliscope_tpu.gui.widgets.coverage_heatmap import CoverageHeatmapWidget
 from caliscope_tpu.gui.widgets.lens_model import LensModelWidget
@@ -11,6 +12,7 @@ from caliscope_tpu.gui.widgets.welcome import WelcomeWidget
 
 __all__ = [
     "ArucoSetPanel",
+    "CameraThumbnailCard",
     "CalibrationQualityTabs",
     "CalibrationStepStrip",
     "CharucoConfigPanel",

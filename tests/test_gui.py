@@ -479,3 +479,47 @@ class TestModelDialog:
         dlg = ModelDownloadDialog(models_dir=tmp_path)
         by_name = {dlg.table.item(i, 0).text(): dlg.table.item(i, 4).text() for i in range(dlg.table.rowCount())}
         assert by_name["RTMPose-t Halpe26"] == "downloaded"
+
+
+class TestCameraThumbnailCard:
+    def test_rotation_persists_and_rotates_thumbnail(self, app, workspace, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        import numpy as np
+
+        from caliscope_tpu.gui.widgets import CameraThumbnailCard
+
+        ws = workspace
+        cid = sorted(ws.cameras.load().cameras)[0]
+        video = ws.video_path("intrinsic", cid)
+        video.parent.mkdir(parents=True, exist_ok=True)
+        w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (96, 64))
+        frame = np.zeros((64, 96, 3), np.uint8)
+        frame[:, :48] = (255, 255, 255)  # left half bright: rotation-visible
+        for _ in range(3):
+            w.write(frame)
+        w.release()
+
+        card = CameraThumbnailCard()
+        card.set_camera(ws, cid)
+        assert card.rotation_count == 0
+        base = card.thumb_array.copy()
+        assert base.shape[0] < base.shape[1]  # landscape at rotation 0
+        assert base[:, : base.shape[1] // 2].mean() > base[:, base.shape[1] // 2 :].mean()
+
+        card.cw_btn.click()
+        assert card.rotation_count == 1  # persisted
+        assert ws.cameras.load().cameras[cid].rotation_count == 1
+        rotated = card.thumb_array
+        assert rotated.shape[0] > rotated.shape[1]  # portrait after 90 deg
+        # bright half moved from left to the top (clockwise turn)
+        assert rotated[: rotated.shape[0] // 2].mean() > rotated[rotated.shape[0] // 2 :].mean()
+
+        card.ccw_btn.click()
+        assert card.rotation_count == 0
+        assert ws.cameras.load().cameras[cid].rotation_count == 0
+
+        # a second card sees the persisted value
+        card.cw_btn.click()
+        card2 = CameraThumbnailCard()
+        card2.set_camera(ws, cid)
+        assert card2.rotation_count == 1
