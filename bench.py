@@ -461,14 +461,54 @@ def _load_device_probe():
     return mod
 
 
+def _scaling_subprocess() -> bool:
+    """Run the scaling section in a fresh CPU-pinned interpreter.
+
+    When a TPU platform plugin owns the parent process, jax.devices("cpu")
+    raises (the plugin registers as the ONLY backend) — but the scaling
+    benchmark is defined on the 8-virtual-device CPU mesh. A child process
+    pinned to JAX_PLATFORMS=cpu always has that mesh available. Pass the
+    child's stdout (the metric JSON line) straight through."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "CALISCOPE_BENCH_FORCE_CPU": "1",
+        "CALISCOPE_BENCH_ONLY": "scaling",
+        "CALISCOPE_PLATFORM_SETTLED": "1",
+    })
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)  # child re-keys by platform
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True,
+        timeout=int(os.environ.get("CALISCOPE_BENCH_SECTION_TIMEOUT", 1200)),
+    )
+    emitted = False
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            print(line, flush=True)
+            emitted = True
+    if not emitted:
+        _log(f"scaling subprocess emitted nothing (rc={proc.returncode}): {proc.stderr[-400:]}")
+    return emitted
+
+
 def main():
     only = os.environ.get("CALISCOPE_BENCH_ONLY", "").split(",") if os.environ.get("CALISCOPE_BENCH_ONLY") else None
 
+    if os.environ.get("CALISCOPE_BENCH_FORCE_CPU"):
+        # Child of _scaling_subprocess (or an explicit-CPU invocation): skip
+        # the device probe entirely and pin the CPU backend before jax init.
+        _finalize_cache_dir()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     # The tunneled TPU plugin's registration name has changed across rounds
     # (axon -> tpu) and its compile service can wedge for hours, so the
     # ambient JAX_PLATFORMS cannot be trusted: probe candidates out of
     # process and adopt the first that executes a real op, else pin CPU.
-    if not _load_device_probe().apply_resolved_platform(logger=_log):
+    elif not _load_device_probe().apply_resolved_platform(logger=_log):
         _log("NO WORKING ACCELERATOR (wedged tunnel/compile service or renamed plugin); "
              "forcing CPU — TPU-named metrics below are CPU-fallback measurements")
         _finalize_cache_dir()
@@ -495,12 +535,24 @@ def main():
     data = None
     if want("scaling"):
         with _section_guard("scaling", int(os.environ.get("CALISCOPE_BENCH_SECTION_TIMEOUT", 1200))):
-            data = _synth_problem()
-            _log("scaling benchmark (virtual CPU mesh)")
-            ips = bench_scaling(*data)
-            if 8 in ips and 1 in ips:
-                retained_pct = 100.0 * ips[8] / ips[1]
-                _emit("ba_shard_8dev_throughput_retained", retained_pct, "%", retained_pct / 80.0)
+            import jax
+
+            try:
+                n_cpu = len(jax.devices("cpu"))
+            except RuntimeError:
+                n_cpu = 0
+            if n_cpu >= 8:
+                data = _synth_problem()
+                _log("scaling benchmark (virtual CPU mesh)")
+                ips = bench_scaling(*data)
+                if 8 in ips and 1 in ips:
+                    retained_pct = 100.0 * ips[8] / ips[1]
+                    _emit("ba_shard_8dev_throughput_retained", retained_pct, "%", retained_pct / 80.0)
+            else:
+                # TPU plugin owns this process: the CPU mesh only exists in a
+                # CPU-pinned child interpreter.
+                _log("scaling: no in-process CPU mesh; delegating to CPU subprocess")
+                _scaling_subprocess()
 
     if want("ba"):
         if data is None:
