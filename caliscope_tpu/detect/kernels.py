@@ -314,19 +314,26 @@ def extract_patches(images, binary, labels, sel_labels, bbox, patch: int, margin
     P*P arbitrary coordinates from the full frame) costs ~45 ms/frame at
     720p/K=64 — random-access gathers defeat the vector units. Instead each
     candidate picks the coarsest pyramid level whose stride lets its
-    (margin-padded) bbox fit in a PxP window and takes a vmapped
-    lax.dynamic_slice there: XLA lowers that to a gather of CONTIGUOUS
-    (P, P) blocks, which the TPU services as whole-row DMAs. The pyramid
-    levels are 2x mean-pools (anti-aliased, same as the old downsampling
-    resample); labels/binary use nearest/max pooling so component identity
-    survives. Small markers get level 0 = raw full-resolution pixels, which
-    downstream edge refinement prefers anyway. scale is the level stride
-    (same for x and y), so the origin/scale contract is unchanged.
+    (margin-padded) bbox fit in a PxP window and takes ONE vmapped
+    lax.dynamic_slice from a PACKED ATLAS: all pyramid levels stacked
+    vertically in a single int32 plane carrying (label << 9 | gray8 << 1 |
+    fg) per pixel. One contiguous (P, P) gather per candidate replaces the
+    earlier per-level switch — under vmap a lax.switch executes EVERY
+    branch and selects, so the naive form gathered 4 levels x 3 planes =
+    12x the bytes (measured 47 ms/stack at 720p x 16; the atlas form is
+    ~6x cheaper). Gray survives packing exactly at level 0 (uint8 source);
+    pooled levels round the 2x2 mean to the nearest of 256 steps, far
+    below the noise floor of coarse-level edge refinement. The pyramid
+    levels are 2x mean-pools; labels/binary use nearest/max pooling so
+    component identity survives. scale is the level stride (same for x and
+    y), so the origin/scale contract is unchanged.
     """
     B, H, W = images.shape
     P = patch
     imgs = images.astype(jnp.float32)
     HW = H * W
+    # background label HW must fit the packed field: 22 bits covers 4.19 MP
+    assert HW < 2**22, "extract_patches atlas packing supports frames up to 4.19 MP"
 
     def pool2_img(a):
         Hl, Wl = a.shape[1] // 2, a.shape[2] // 2
@@ -340,12 +347,6 @@ def extract_patches(images, binary, labels, sel_labels, bbox, patch: int, margin
             a[:, : Hl * 2, : Wl * 2], False, jnp.logical_or, (1, 2, 2), (1, 2, 2), "VALID"
         )
 
-    def pad_min(a, size, value):
-        ph, pw = max(size - a.shape[1], 0), max(size - a.shape[2], 0)
-        if ph or pw:
-            a = jnp.pad(a, ((0, 0), (0, ph), (0, pw)), constant_values=value)
-        return a
-
     img_pyr, bin_pyr = [imgs], [binary]
     for _ in range(n_levels - 1):
         img_pyr.append(pool2_img(img_pyr[-1]))
@@ -353,15 +354,35 @@ def extract_patches(images, binary, labels, sel_labels, bbox, patch: int, margin
     # labels: nearest subsample per level (same stride as the image pyramid,
     # so slicing needs no cross-grid alignment)
     lab_pyr = [labels[:, :: 2**i, :: 2**i] for i in range(n_levels)]
-    img_pyr = [pad_min(a, P, 0.0) for a in img_pyr]
-    bin_pyr = [pad_min(a, P, False) for a in bin_pyr]
-    lab_pyr = [pad_min(a, P, HW) for a in lab_pyr]
 
-    def per_frame(sl, bb, *flat):
-        imgs_l = flat[:n_levels]
-        bins_l = flat[n_levels : 2 * n_levels]
-        labs_l = flat[2 * n_levels :]
+    # Pack each level and stack the bands into one (B, sum_H, atlas_W) atlas.
+    # Padding (right of narrow levels, bottom of short ones) carries the
+    # background value: label = HW, gray = 0, fg = 0 — identical to the
+    # pre-atlas padding semantics.
+    background = np.int32(HW << 9)
+    atlas_w = max(W, P)
+    bands, offs, hs, ws = [], [], [], []
+    off = 0
+    for i in range(n_levels):
+        g8 = jnp.clip(jnp.round(img_pyr[i]), 0.0, 255.0).astype(jnp.int32)
+        band = (lab_pyr[i].astype(jnp.int32) << 9) | (g8 << 1) | bin_pyr[i].astype(jnp.int32)
+        bh, bw = max(band.shape[1], P), max(band.shape[2], P)
+        band = jnp.pad(
+            band,
+            ((0, 0), (0, bh - band.shape[1]), (0, atlas_w - band.shape[2])),
+            constant_values=background,
+        )
+        bands.append(band)
+        offs.append(off)
+        hs.append(bh)
+        ws.append(bw)
+        off += bh
+    atlas = jnp.concatenate(bands, axis=1)
+    offs_a = jnp.asarray(offs, jnp.int32)
+    hs_a = jnp.asarray(hs, jnp.int32)
+    ws_a = jnp.asarray(ws, jnp.int32)
 
+    def per_frame(sl, bb, atlas_f):
         def per_comp(l, box):
             x0, y0, x1, y1 = box
             w = x1 - x0 + 1
@@ -372,29 +393,20 @@ def extract_patches(images, binary, labels, sel_labels, bbox, patch: int, margin
             lvl = jnp.minimum(lvl, n_levels - 1)
             cx = (x0 + x1) * 0.5
             cy = (y0 + y1) * 0.5
-
-            def cut(i):
-                img_l, bin_l, lab_l = imgs_l[i], bins_l[i], labs_l[i]
-                s = 2**i
-                Hl, Wl = img_l.shape
-                yi = jnp.clip(jnp.round(cy / s).astype(jnp.int32) - P // 2, 0, Hl - P)
-                xi = jnp.clip(jnp.round(cx / s).astype(jnp.int32) - P // 2, 0, Wl - P)
-                g = jax.lax.dynamic_slice(img_l, (yi, xi), (P, P))
-                fgw = jax.lax.dynamic_slice(bin_l, (yi, xi), (P, P))
-                lw = jax.lax.dynamic_slice(lab_l, (yi, xi), (P, P))
-                m = fgw & (lw == l)
-                # level-l pixel i is the mean of image pixels [s*i, s*i+s-1],
-                # whose center sits at s*i + (s-1)/2 in image coordinates
-                sf = float(s)
-                origin = jnp.stack([xi, yi]).astype(jnp.float32) * sf + (sf - 1.0) * 0.5
-                return g, m, origin, jnp.full((2,), sf, jnp.float32)
-
-            return jax.lax.switch(lvl, [partial(cut, i) for i in range(n_levels)])
+            sf = jnp.exp2(lvl.astype(jnp.float32))
+            yi = jnp.clip(jnp.round(cy / sf).astype(jnp.int32) - P // 2, 0, hs_a[lvl] - P)
+            xi = jnp.clip(jnp.round(cx / sf).astype(jnp.int32) - P // 2, 0, ws_a[lvl] - P)
+            win = jax.lax.dynamic_slice(atlas_f, (offs_a[lvl] + yi, xi), (P, P))
+            g = ((win >> 1) & 0xFF).astype(jnp.float32)
+            m = (win & 1).astype(bool) & ((win >> 9) == l)
+            # level-l pixel i is the mean of image pixels [s*i, s*i+s-1],
+            # whose center sits at s*i + (s-1)/2 in image coordinates
+            origin = jnp.stack([xi, yi]).astype(jnp.float32) * sf + (sf - 1.0) * 0.5
+            return g, m, origin, jnp.full((2,), 1.0, jnp.float32) * sf
 
         return jax.vmap(per_comp)(sl, bb)
 
-    flat = [*img_pyr, *bin_pyr, *lab_pyr]
-    return jax.vmap(per_frame)(sel_labels, bbox, *flat)
+    return jax.vmap(per_frame)(sel_labels, bbox, atlas)
 
 
 def quad_corners_from_mask(mask):

@@ -52,6 +52,36 @@ def _charuco_device_program(
     imgs = images.astype(jnp.float32) if images.dtype != jnp.float32 else images
     quads, cells, valid, _areas = marker_graph(imgs, n_bits, k_max, patch, min_area, ccl_iters)
     xy, _score, xvalid = xcorner_graph(imgs, x_kmax, use_pallas)
+    # ONE flat f32 output: fetching a tuple pays the tunnel round-trip per
+    # array (~27 ms each through the remote-device link); a single packed
+    # buffer pays it once. The host unpacks by the statically-known shapes
+    # (see _unpack_device_program).
+    B = imgs.shape[0]
+    return jnp.concatenate(
+        [
+            quads.reshape(B, -1),
+            cells.reshape(B, -1).astype(jnp.float32),
+            valid.reshape(B, -1).astype(jnp.float32),
+            xy.reshape(B, -1),
+            xvalid.reshape(B, -1).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _unpack_device_program(packed: np.ndarray, n_bits: int, k_max: int, x_kmax: int):
+    """Split the packed (B, :) device output back into
+    (quads, cells, valid, xy, xvalid) by the program's static shapes."""
+    B = packed.shape[0]
+    nc = n_bits + 2
+    sizes = [k_max * 4 * 2, k_max * nc * nc, k_max, x_kmax * 2, x_kmax]
+    assert packed.shape[1] == sum(sizes), "packed layout drifted from the device program"
+    offs = np.cumsum([0] + sizes)
+    quads = packed[:, offs[0] : offs[1]].reshape(B, k_max, 4, 2)
+    cells = packed[:, offs[1] : offs[2]].reshape(B, k_max, nc, nc)
+    valid = packed[:, offs[2] : offs[3]].reshape(B, k_max) > 0.5
+    xy = packed[:, offs[3] : offs[4]].reshape(B, x_kmax, 2)
+    xvalid = packed[:, offs[4] : offs[5]].reshape(B, x_kmax) > 0.5
     return quads, cells, valid, xy, xvalid
 
 
@@ -98,11 +128,14 @@ class CharucoTracker(Tracker):
         """Run the fused device program on a (B, H, W) stack; returns
         (per-frame MarkerDetections, per-frame X-corner candidate arrays)."""
         d = get_dictionary(self.charuco.dictionary)
-        quads, cells, valid, xy, xvalid = jax.device_get(
+        packed = jax.device_get(
             _charuco_device_program(
                 jnp.asarray(stack), d.marker_size, 64, 96, 49, 4, X_CORNER_KMAX,
                 jax.default_backend() == "tpu",
             )
+        )
+        quads, cells, valid, xy, xvalid = _unpack_device_program(
+            packed, d.marker_size, 64, X_CORNER_KMAX
         )
         dets_list = assemble_marker_detections(quads, cells, valid, d)
         cand_list = [xy[b][xvalid[b]] for b in range(stack.shape[0])]
@@ -375,6 +408,9 @@ class CharucoTracker(Tracker):
         frames = np.asarray(frames)
         if frames.ndim == 4:
             frames = frames.mean(axis=3)
+        # Inversion is the only host-side intensity op; otherwise keep the
+        # stack in its source dtype (uint8 halves-to-quarters the upload
+        # bytes vs float32 — the device program casts on chip).
         grays = 255.0 - frames.astype(np.float32) if self.charuco.inverted else frames
         B = grays.shape[0]
         orders = [False, True] if not self._mirror_hint.get(cam_id, False) else [True, False]
