@@ -35,6 +35,7 @@ logger = logging.getLogger(__name__)
 
 MIN_MARKERS_FOR_BOARD = 1
 X_CORNER_KMAX = 256
+_RUN_CHUNK = 8  # frames per device dispatch in _run_stack (see its docstring)
 
 
 @partial(jax.jit, static_argnames=("n_bits", "k_max", "patch", "min_area", "ccl_iters", "x_kmax", "use_pallas"))
@@ -126,19 +127,38 @@ class CharucoTracker(Tracker):
     # ---- detection ----------------------------------------------------------
     def _run_stack(self, stack: np.ndarray):
         """Run the fused device program on a (B, H, W) stack; returns
-        (per-frame MarkerDetections, per-frame X-corner candidate arrays)."""
+        (per-frame MarkerDetections, per-frame X-corner candidate arrays).
+
+        The stack is dispatched in fixed-size chunks with every upload and
+        program enqueued BEFORE the first fetch: the (async) host->device
+        transfer of chunk k+1 then overlaps the compute of chunk k, which
+        matters wherever the h2d link is the bottleneck (the dev tunnel
+        moves 42 MB/s; even PCIe hosts gain the overlap). Fixed chunking
+        also bounds the compiled shapes to (1, H, W) and (CHUNK, H, W)
+        per resolution instead of one program per caller batch size."""
         d = get_dictionary(self.charuco.dictionary)
-        packed = jax.device_get(
-            _charuco_device_program(
-                jnp.asarray(stack), d.marker_size, 64, 96, 49, 4, X_CORNER_KMAX,
-                jax.default_backend() == "tpu",
+        B = stack.shape[0]
+        chunk = 1 if B == 1 else _RUN_CHUNK
+        use_pallas = jax.default_backend() == "tpu"
+        outs = []
+        for i in range(0, B, chunk):
+            piece = stack[i : i + chunk]
+            if piece.shape[0] < chunk:
+                piece = np.concatenate(
+                    [piece, np.broadcast_to(piece[-1:], (chunk - piece.shape[0], *piece.shape[1:]))]
+                )
+            outs.append(
+                _charuco_device_program(
+                    jnp.asarray(np.ascontiguousarray(piece)),
+                    d.marker_size, 64, 96, 49, 4, X_CORNER_KMAX, use_pallas,
+                )
             )
-        )
+        packed = np.concatenate([jax.device_get(o) for o in outs], axis=0)[:B]
         quads, cells, valid, xy, xvalid = _unpack_device_program(
             packed, d.marker_size, 64, X_CORNER_KMAX
         )
         dets_list = assemble_marker_detections(quads, cells, valid, d)
-        cand_list = [xy[b][xvalid[b]] for b in range(stack.shape[0])]
+        cand_list = [xy[b][xvalid[b]] for b in range(B)]
         return dets_list, cand_list
 
     def _detect_face(self, gray: np.ndarray, dets=None, cand=None):
@@ -422,13 +442,9 @@ class CharucoTracker(Tracker):
             stack = grays[pending]
             if mirrored:
                 stack = stack[:, :, ::-1]
-            # pad the retry stack back to the full batch shape: the device
-            # program is compiled per stack shape, and a variable-length
-            # pending set would trigger a fresh (minutes-long) XLA compile
-            # per distinct size
-            n_pending = stack.shape[0]
-            if 0 < n_pending < B:
-                stack = np.concatenate([stack, np.broadcast_to(stack[:1], (B - n_pending, *stack.shape[1:]))])
+            # no shape padding needed here: _run_stack dispatches in fixed
+            # chunks, so a variable-length pending set reuses the same
+            # compiled programs
             stack = np.ascontiguousarray(stack)
             dets_list, cand_list = self._run_stack(stack)
             still = []
