@@ -500,6 +500,11 @@ def main():
     if os.environ.get("CALISCOPE_BENCH_FORCE_CPU"):
         # Child of _scaling_subprocess (or an explicit-CPU invocation): skip
         # the device probe entirely and pin the CPU backend before jax init.
+        # Pin the env var BEFORE finalizing the cache dir so the cache key
+        # matches the pinned platform — an 'auto'-keyed cache could load
+        # plugin-baked entries across the machine-feature boundary the
+        # comment above _finalize_cache_dir warns about.
+        os.environ["JAX_PLATFORMS"] = "cpu"
         _finalize_cache_dir()
         import jax
 

@@ -177,17 +177,17 @@ def extract_image_points(
     from caliscope_tpu.media import FrameSource, read_video_properties
 
     if frame_step < 1:
-        raise ValueError(f"frame_step must be >= 1, got {frame_step}")
+        raise ValueError(f"frame_step of {frame_step} is invalid; it must be a positive stride")
     video_path = Path(video_path)
     if not video_path.exists():
-        raise FileNotFoundError(f"Video file not found: {video_path}")
+        raise FileNotFoundError(f"no video file at {video_path}")
 
     with _auto_progress(progress) as prog:
         props = read_video_properties(video_path)
         wanted = set(range(0, props.frame_count, frame_step)) if frame_step > 1 else None
         total = (props.frame_count + frame_step - 1) // frame_step
         if frame_step > 1:
-            prog.on_info(f"Extracting every {frame_step}th frame ({total} of {props.frame_count})")
+            prog.on_info(f"Sampling one of every {frame_step} frames ({total} of {props.frame_count})")
         prog.on_video_start(cam_id, total)
 
         rows: list[dict] = []
@@ -203,10 +203,9 @@ def extract_image_points(
 
     if not rows:
         raise CalibrationError(
-            "No landmarks detected in the video. Check that:\n"
-            "  1. The calibration target is visible in the video\n"
-            "  2. The correct tracker is being used\n"
-            "  3. The video file is not corrupted"
+            "Tracker found zero landmarks across the whole video. Common causes: "
+            "the calibration target never appears in frame, the tracker does not "
+            "match the target type, or the video stream is unreadable."
         )
     return _rows_to_image_points(rows)
 
@@ -226,13 +225,13 @@ def extract_image_points_multicam(
     from caliscope_tpu.media import FrameSource, SynchronizedTimestamps
 
     if frame_step < 1:
-        raise ValueError(f"frame_step must be >= 1, got {frame_step}")
+        raise ValueError(f"frame_step of {frame_step} is invalid; it must be a positive stride")
     video_paths = {cid: Path(p) for cid, p in videos.items()}
     rotations = rotation_counts or {}
     missing = {cid: str(p) for cid, p in video_paths.items() if not p.exists()}
     if missing:
         detail = "\n".join(f"  cam {cid}: {p}" for cid, p in missing.items())
-        raise FileNotFoundError(f"Video files not found:\n{detail}")
+        raise FileNotFoundError(f"missing video files:\n{detail}")
 
     with _auto_progress(progress) as prog:
         if timestamps is not None:
@@ -242,7 +241,7 @@ def extract_image_points_multicam(
         selected = synced.sync_indices[::frame_step]
         if frame_step > 1:
             prog.on_info(
-                f"Extracting every {frame_step}th time-aligned frame "
+                f"Sampling one of every {frame_step} time-aligned frames "
                 f"({len(selected)} of {len(synced.sync_indices)})"
             )
 
@@ -290,10 +289,9 @@ def extract_image_points_multicam(
 
     if not all_rows:
         raise CalibrationError(
-            "No landmarks detected in any video. Check that:\n"
-            "  1. The calibration target is visible in the videos\n"
-            "  2. The correct tracker is being used\n"
-            "  3. Video files are not corrupted"
+            "Tracker found zero landmarks in every camera's video. Common causes: "
+            "the calibration target never appears in any view, the tracker does "
+            "not match the target type, or the video streams are unreadable."
         )
     return _rows_to_image_points(all_rows)
 
@@ -302,9 +300,10 @@ def calibrate_intrinsics(image_points: ImagePoints, camera: CameraData) -> Intri
     """Intrinsic calibration from 2D observations with known obj_loc."""
     if not image_points.any_obj_loc:
         raise CalibrationError(
-            "ImagePoints contain no object location data (obj_loc columns are all NaN). "
-            "Intrinsic calibration requires a tracker that provides known 3D positions "
-            "(e.g., CharucoTracker). Body pose trackers do not provide object locations."
+            "Every obj_loc entry in these ImagePoints is NaN, so there is no known "
+            "target geometry to calibrate against. Use a tracker with a physical "
+            "target definition (CharucoTracker and friends); markerless body-pose "
+            "trackers cannot drive intrinsic calibration."
         )
     try:
         return run_intrinsic_calibration(image_points, camera)

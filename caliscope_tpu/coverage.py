@@ -140,14 +140,14 @@ def detect_structural_warnings(
         warnings.append(
             StructuralWarning(
                 WarningSeverity.CRITICAL,
-                f"Camera C{cam_id} has no shared observations with any other camera",
+                f"Camera C{cam_id} never sees the target at the same instant as any other camera",
             )
         )
     if report.n_connected_components > 1:
         warnings.append(
             StructuralWarning(
                 WarningSeverity.CRITICAL,
-                f"Camera network has {report.n_connected_components} disconnected groups",
+                f"The rig splits into {report.n_connected_components} camera groups with no shared views between them",
             )
         )
     if n_cameras > 2:
@@ -156,14 +156,14 @@ def detect_structural_warnings(
                 warnings.append(
                     StructuralWarning(
                         WarningSeverity.WARNING,
-                        f"Camera C{cam_id} only connected to C{connected_to} ({obs_count} obs)",
+                        f"Camera C{cam_id} links to the rig solely via C{connected_to}, on just {obs_count} shared observations",
                     )
                 )
             else:
                 warnings.append(
                     StructuralWarning(
                         WarningSeverity.INFO,
-                        f"Camera C{cam_id} connects only through C{connected_to}",
+                        f"Camera C{cam_id} reaches the rest of the rig only via C{connected_to}",
                     )
                 )
     order = {WarningSeverity.CRITICAL: 0, WarningSeverity.WARNING: 1, WarningSeverity.INFO: 2}

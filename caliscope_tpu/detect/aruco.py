@@ -124,6 +124,12 @@ def detect_markers(
     images = np.asarray(images)
     if images.ndim == 2:
         images = images[None]
+    # Intensity contract: the device graph (threshold offsets, the packed
+    # patch atlas's 8-bit gray field) assumes a 0..255 scale. Normalized
+    # float frames (0..1) would silently lose all contrast in the atlas, so
+    # rescale them here at the host boundary.
+    if np.issubdtype(images.dtype, np.floating) and images.size and float(np.nanmax(images)) <= 1.5:
+        images = images * 255.0
     quads, cells, valid, _areas = jax.device_get(
         _device_pipeline(jnp.asarray(images), d.marker_size, k_max, patch, min_area, ccl_iters)
     )

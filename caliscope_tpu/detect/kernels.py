@@ -303,7 +303,10 @@ def bilinear_sample(image, xy):
 def extract_patches(images, binary, labels, sel_labels, bbox, patch: int, margin_frac: float = 0.15, n_levels: int = 4):
     """Cut a fixed PxP window around each candidate from an image pyramid.
 
-    images: (B, H, W) float; binary: (B, H, W) bool foreground; labels:
+    images: (B, H, W) float on a 0..255 intensity scale — the atlas packs
+    gray to 8 bits, so normalized 0..1 frames would collapse to 0/1 values
+    (public entry points rescale at the host boundary); binary: (B, H, W)
+    bool foreground; labels:
     (B, H, W) full-resolution component labels; sel_labels are label values.
     Returns (gray (B, K, P, P), mask (B, K, P, P) bool, origin (B, K, 2),
     scale (B, K, 2)) with image_xy = origin + patch_xy * scale. The mask is

@@ -25,7 +25,7 @@ class ArucoMarker:
 
     def __post_init__(self):
         if self.size_m <= 0:
-            raise ValueError(f"size_m must be positive, got {self.size_m}")
+            raise ValueError(f"marker size_m wants a positive length, not {self.size_m}")
 
     @property
     def corners(self) -> np.ndarray:
@@ -53,16 +53,16 @@ class DistanceLink:
 
     def __post_init__(self):
         if self.marker_a == self.marker_b:
-            raise ValueError(f"DistanceLink marker_a and marker_b must differ, got {self.marker_a}")
+            raise ValueError(f"a DistanceLink cannot join marker {self.marker_a} to itself")
         if (self.corner_a is None) != (self.corner_b is None):
-            raise ValueError("DistanceLink corner_a/corner_b must both be set or both be None")
+            raise ValueError("DistanceLink needs corner_a and corner_b either both given or both omitted")
         for c in (self.corner_a, self.corner_b):
             if c is not None and not (0 <= c <= 3):
                 raise ValueError(f"corner index must be in 0..3, got {c}")
         if self.distance_m <= 0:
-            raise ValueError(f"distance_m must be positive, got {self.distance_m}")
+            raise ValueError(f"link distance_m wants a positive length, not {self.distance_m}")
         if self.sigma_m is not None and self.sigma_m <= 0:
-            raise ValueError(f"sigma_m must be positive when provided, got {self.sigma_m}")
+            raise ValueError(f"when given, sigma_m needs to be > 0 (got {self.sigma_m})")
 
     @property
     def is_center(self) -> bool:
@@ -89,14 +89,14 @@ class MirrorPair:
 
     def __post_init__(self):
         if self.marker_a == self.marker_b:
-            raise ValueError(f"MirrorPair marker_a and marker_b must differ, got {self.marker_a}")
+            raise ValueError(f"a MirrorPair cannot pair marker {self.marker_a} with itself")
         for c in (self.anchor_corner_a, self.anchor_corner_b):
             if not (0 <= c <= 3):
                 raise ValueError(f"anchor corner must be in 0..3, got {c}")
         if self.thickness_m < 0:
-            raise ValueError(f"thickness_m must be non-negative, got {self.thickness_m}")
+            raise ValueError(f"thickness_m cannot be negative (got {self.thickness_m})")
         if self.sigma_m is not None and self.sigma_m <= 0:
-            raise ValueError(f"sigma_m must be positive, got {self.sigma_m}")
+            raise ValueError(f"sigma_m needs to be > 0 (got {self.sigma_m})")
 
     @property
     def corner_mapping(self) -> tuple[tuple[int, int], ...]:
@@ -118,15 +118,15 @@ class ArucoMarkerSet:
 
     def __post_init__(self):
         if not self.markers:
-            raise ValueError("ArucoMarkerSet requires at least one marker")
+            raise ValueError("an ArucoMarkerSet with zero markers is not usable")
         capacity = ARUCO_DICTIONARY_CAPACITY.get(self.dictionary)
         if capacity is None:
             raise ValueError(f"Unknown ArUco dictionary {self.dictionary}")
         for mid, marker in self.markers.items():
             if marker.marker_id != mid:
-                raise ValueError(f"Key {mid} does not match marker_id {marker.marker_id}")
+                raise ValueError(f"dict key {mid} disagrees with the marker's own id {marker.marker_id}")
             if mid < 0 or mid >= capacity:
-                raise ValueError(f"Marker ID {mid} exceeds dictionary capacity ({capacity})")
+                raise ValueError(f"marker id {mid} is outside the {capacity}-entry dictionary")
 
         seen_pairs: set[frozenset] = set()
         for link in self.links:
@@ -156,7 +156,7 @@ class ArucoMarkerSet:
             if self.markers[pair.marker_a].size_m != self.markers[pair.marker_b].size_m:
                 raise ValueError(f"MirrorPair markers {pair.marker_a} and {pair.marker_b} must share size_m")
             if self.markers[pair.marker_a].static != self.markers[pair.marker_b].static:
-                raise ValueError("MirrorPair mixes static and mobile markers")
+                raise ValueError("both members of a MirrorPair must share the static flag")
             pair_marker_sets.add(frozenset((pair.marker_a, pair.marker_b)))
             if pair.is_zero_thickness:
                 zero_thickness_b.add(pair.marker_b)
@@ -164,7 +164,7 @@ class ArucoMarkerSet:
         for link in self.links:
             if frozenset((link.marker_a, link.marker_b)) in pair_marker_sets:
                 raise ValueError(
-                    f"MirrorPair and DistanceLink both connect markers {link.marker_a} and {link.marker_b}"
+                    f"markers {link.marker_a} and {link.marker_b} are joined by both a MirrorPair and a DistanceLink — drop one"
                 )
             for m in (link.marker_a, link.marker_b):
                 if m in zero_thickness_b:
@@ -214,7 +214,7 @@ class ArucoMarkerSet:
 
         path = Path(path)
         if not path.exists():
-            raise PersistenceError(f"ArucoMarkerSet file not found: {path}")
+            raise PersistenceError(f"no ArucoMarkerSet file at {path}")
         try:
             data = persistence.load_toml(path)
             markers = {
@@ -247,4 +247,4 @@ class ArucoMarkerSet:
         except PersistenceError:
             raise
         except Exception as e:
-            raise PersistenceError(f"Failed to load ArucoMarkerSet from {path}: {e}") from e
+            raise PersistenceError(f"could not parse ArucoMarkerSet at {path}: {e}") from e

@@ -138,6 +138,8 @@ class CharucoTracker(Tracker):
         per resolution instead of one program per caller batch size."""
         d = get_dictionary(self.charuco.dictionary)
         B = stack.shape[0]
+        if B == 0:
+            return [], []
         chunk = 1 if B == 1 else _RUN_CHUNK
         use_pallas = jax.default_backend() == "tpu"
         outs = []
