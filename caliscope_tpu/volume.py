@@ -313,6 +313,7 @@ class CaptureVolume:
         f_scale: float = 1.0,
         solver: str = "auto",
         shard: str = "auto",
+        bake_problem: bool = False,
     ) -> "CaptureVolume":
         """Bundle adjustment. Extrinsics-only by default; refine_intrinsics
         adds the [s, k1, k2] block per camera. Matches the reference's
@@ -323,6 +324,12 @@ class CaptureVolume:
         visible device when the problem is large enough to amortize the
         collectives; 'always'/'never' force it. The solve itself is the same
         jitted while-loop either way — sharding only changes array placement.
+
+        bake_problem: compile the observation pattern in as constants —
+        roughly 2x faster per LM iteration, but EVERY call pays a fresh
+        problem-specific compile (tens of seconds on TPU). Worth it only for
+        steady-state serving of one long-lived problem; interactive pipeline
+        stages should leave it off and reuse the shape-bucketed executable.
         """
         from caliscope_tpu.solvers.bundle import (
             BAConfig,
@@ -379,6 +386,7 @@ class CaptureVolume:
             ftol=ftol,
             solver=solver,
             shard=shard,
+            bake_problem=bake_problem,
         )
         logger.info(f"Beginning bundle adjustment on {N_real} observations (bucketed to {Nb})")
         result = lm_solve(problem, cam9_0, X0, config)
