@@ -116,8 +116,11 @@ def _synth_problem():
         dist[i] = [0.1, -0.05, 0.001, -0.001, 0.01]
 
     X = rng.uniform([-1, -1, -0.5], [1, 1, 1.5], size=(N_POINTS, 3))
-    cam_idx = rng.integers(0, N_CAMERAS, size=N_OBS)
-    pt_idx = rng.integers(0, N_POINTS, size=N_OBS)
+    # Unique (point, camera) pairs, like real sessions (a camera sees a world
+    # point at most once) — sampled without replacement from the P x C grid.
+    pair = rng.choice(N_POINTS * N_CAMERAS, size=N_OBS, replace=False)
+    cam_idx = (pair % N_CAMERAS).astype(np.int64)
+    pt_idx = (pair // N_CAMERAS).astype(np.int64)
     uv = np.empty((N_OBS, 2))
     for i in range(N_CAMERAS):
         m = cam_idx == i
@@ -133,37 +136,54 @@ def bench_ours(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
     so per-dispatch host/tunnel latency amortizes to nothing.
 
     Two configurations, both reachable through CaptureVolume.optimize():
-      - production (bake_problem=False, the pipeline default): the shared
-        shape-bucketed executable — this is the HEADLINE number, because it
-        is what every production call path actually runs;
-      - baked (bake_problem=True): observation pattern compiled in as
-        constants, the steady-state-serving shape (optimize(bake_problem=
-        True)); reported as a secondary metric.
-    Returns {"production": s/iter, "baked": s/iter}, cost_final.
+      - production (HEADLINE): the DENSE (P, C) observation layout with the
+        point axis bucketed exactly as volume.optimize buckets it — this is
+        the layout the production pipeline picks at this scale (unique
+        (point, camera) pairs, grid >= 1/3 full);
+      - sparse_layout: the sparse row layout (the fallback path for
+        static-object sessions with duplicate pairs), secondary metric.
+    Returns {"production": s/iter, "sparse_layout": s/iter}, cost_final.
     """
-    from caliscope_tpu.solvers.bundle import BAConfig, lm_solve, make_problem
+    from caliscope_tpu.ops.bucket import bucket_size
+    from caliscope_tpu.solvers.bundle import (
+        BAConfig,
+        lm_solve,
+        make_dense_problem,
+        make_problem,
+    )
 
-    problem = make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool))
     cam9 = np.concatenate([rvecs, tvecs, np.ones((N_CAMERAS, 1)), dist[:, :2]], axis=1)
     solver = os.environ.get("CALISCOPE_BENCH_SOLVER", "auto")
+    # mirror volume.optimize's point bucketing (one compiled program per
+    # quarter-octave point bucket)
+    Pb = bucket_size(N_POINTS + 1, fine=True)
+    Xb = np.concatenate([X, np.tile(X.mean(axis=0), (Pb - N_POINTS, 1))])
+    problems = {
+        "production": (
+            make_dense_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool), n_points=Pb),
+            Xb,
+        ),
+        "sparse_layout": (
+            make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool)),
+            X,
+        ),
+    }
     out = {}
     cost = None
-    for name, baked in (("production", False), ("baked", True)):
-        config = BAConfig(
-            max_iter=TIMED_ITERS, ftol=0.0, gtol=0.0, solver=solver, cg_max_iter=30,
-            bake_problem=baked,
-        )
+    config = BAConfig(max_iter=TIMED_ITERS, ftol=0.0, gtol=0.0, solver=solver, cg_max_iter=30)
+    for name, (problem, X_init) in problems.items():
         _log(f"compiling + warmup solve ({name})")
-        lm_solve(problem, cam9, X, config)
+        lm_solve(problem, cam9, X_init, config)
         _log(f"compiled; timing {name} (best of 3)")
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            res = lm_solve(problem, cam9, X, config)
+            res = lm_solve(problem, cam9, X_init, config)
             best = min(best, time.perf_counter() - t0)
         assert res.n_iterations == TIMED_ITERS, res.n_iterations
         out[name] = best / res.n_iterations
-        cost = res.cost_final
+        if name == "production":
+            cost = res.cost_final
     return out, cost
 
 
@@ -361,11 +381,17 @@ def bench_scaling(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
     """
     import jax
 
+    from caliscope_tpu.ops.bucket import bucket_size
     from caliscope_tpu.parallel.sharded import make_obs_mesh
-    from caliscope_tpu.solvers.bundle import BAConfig, lm_solve, make_problem
+    from caliscope_tpu.solvers.bundle import BAConfig, lm_solve, make_dense_problem
 
     cpu_devices = jax.devices("cpu")
-    problem = make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool))
+    # the production layout at this scale: dense (P, C), point axis sharded
+    Pb = bucket_size(N_POINTS + 1, fine=True)
+    problem = make_dense_problem(
+        cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool), n_points=Pb
+    )
+    X = np.concatenate([X, np.tile(X.mean(axis=0), (Pb - N_POINTS, 1))])
     cam9 = np.concatenate([rvecs, tvecs, np.ones((N_CAMERAS, 1)), dist[:, :2]], axis=1)
     config = BAConfig(max_iter=SCALING_ITERS, ftol=0.0, gtol=0.0, solver="schur", cg_max_iter=30)
     sizes = [k for k in (1, 2, 4, 8) if k <= len(cpu_devices)]
@@ -656,7 +682,7 @@ def main():
             data = _synth_problem()
         _log("benching ours")
         ours, cost = bench_ours(*data)
-        _log(f"ours {ours['production']:.3f}s/iter (baked {ours['baked']:.3f}); benching reference proxy")
+        _log(f"ours {ours['production']:.3f}s/iter (sparse layout {ours['sparse_layout']:.3f}); benching reference proxy")
         ref_s = min(bench_reference_equivalent(*data), PINNED_REFERENCE_S)
         _log(f"reference proxy {ref_s:.3f}s/iter (pinned idle-host floor {PINNED_REFERENCE_S})")
         roofline = {}
@@ -664,16 +690,16 @@ def main():
             from tools.roofline import lm_iteration_roofline
 
             roofline = lm_iteration_roofline(
-                N_OBS, N_POINTS, N_CAMERAS, ours["production"],
+                N_OBS, N_POINTS, N_CAMERAS, ours["production"], dense_grid_points=None,
             )
         except Exception as e:  # roofline is reporting-only; never sink the metric
             _log(f"roofline computation skipped: {e}")
         _emit(
-            "ba_lm_iterations_per_sec_141k_obs_baked", 1.0 / ours["baked"], "iter/s",
-            ref_s / ours["baked"],
+            "ba_lm_iterations_per_sec_141k_obs_sparse_layout", 1.0 / ours["sparse_layout"],
+            "iter/s", ref_s / ours["sparse_layout"],
         )
-        # HEADLINE (last line): the production configuration — exactly what
-        # CaptureVolume.optimize() runs by default (bake_problem=False).
+        # HEADLINE (last line): the production configuration — the dense
+        # (P, C) layout CaptureVolume.optimize() picks at this scale.
         _emit(
             "ba_lm_iterations_per_sec_141k_obs", 1.0 / ours["production"], "iter/s",
             ref_s / ours["production"], **roofline,

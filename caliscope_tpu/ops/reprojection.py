@@ -101,6 +101,47 @@ def observation_jacobian_blocks(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, di
     )
 
 
+def dense_observation_residuals(cam9_all, X_all, uv, K0_all, dist0_all, fisheye_all, inv_fx_all):
+    """Residuals in the DENSE (P, C) observation layout: every world point
+    crossed with every camera, padded slots masked by the caller.
+
+    The observation structure of bundle adjustment is at most dense in
+    (points x cameras) — a camera sees a world point at most once — so laying
+    the observation axis out as a (P, C) grid makes BOTH indices array axes:
+    no cam_idx/pt_idx gathers on the way in, and every normal-equation
+    reduction downstream becomes a dense einsum instead of a segment
+    scatter. Returns (P, C, 2)."""
+
+    def per_cam(cam9, uv_c, K0, dist0, fe, ifx):
+        uv_hat = project_with_block(X_all, cam9, K0, dist0, fe)
+        return (uv_hat - uv_c) * ifx
+
+    # vmap over the camera axis; X broadcasts. uv is (P, C, 2) -> pass (C, P, 2).
+    r = jax.vmap(per_cam)(
+        cam9_all, jnp.swapaxes(uv, 0, 1), K0_all, dist0_all, fisheye_all, inv_fx_all
+    )  # (C, P, 2)
+    return jnp.swapaxes(r, 0, 1)
+
+
+def dense_observation_jacobian_blocks(cam9_all, X_all, uv, K0_all, dist0_all, fisheye_all, inv_fx_all):
+    """Jacobian blocks in the dense (P, C) layout.
+
+    Returns (r (P,C,2), Jc (P,C,2,9), Jp (P,C,2,3)) — same jacfwd-through-
+    one-projection construction as observation_jacobian_blocks, but the
+    (point, camera) pairing is positional: zero index arrays anywhere."""
+
+    def one(cam9, X, uv_i, K0, dist0, fe, ifx):
+        f = lambda c, x: _obs_residual(c, x, uv_i, K0, dist0, fe, ifx)
+        r = f(cam9, X)
+        Jc = jax.jacfwd(f, argnums=0)(cam9, X)
+        Jp = jax.jacfwd(f, argnums=1)(cam9, X)
+        return r, Jc, Jp
+
+    inner = jax.vmap(one, in_axes=(0, None, 0, 0, 0, 0, 0))  # over cameras
+    outer = jax.vmap(inner, in_axes=(None, 0, 0, None, None, None, None))  # over points
+    return outer(cam9_all, X_all, uv, K0_all, dist0_all, fisheye_all, inv_fx_all)
+
+
 def reprojection_errors(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, dist0_all, fisheye_all):
     """Per-observation PIXEL-space errors (N, 2) for reports
     (reference reprojection.py:35-72)."""

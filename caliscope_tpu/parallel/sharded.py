@@ -21,7 +21,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from caliscope_tpu.solvers.bundle import BAProblem, lm_iteration
+from caliscope_tpu.solvers.bundle import BADenseProblem, BAProblem, lm_iteration
 
 OBS_AXIS = "obs"
 
@@ -36,10 +36,48 @@ def _pad_len(n: int, k: int) -> int:
     return (n + k - 1) // k * k
 
 
-def shard_problem(problem: BAProblem, mesh: Mesh, axis_name: str = OBS_AXIS) -> BAProblem:
+def shard_dense_problem(problem: BADenseProblem, mesh: Mesh, axis_name: str = OBS_AXIS) -> BADenseProblem:
+    """Shard the dense (P, C) layout's POINT axis over the mesh; cameras and
+    constraints replicate. The point axis plays the sharded-observation role:
+    residual/Jacobian slots partition by point, the camera-side reductions
+    all-reduce (C is tiny), and point-side quantities stay sharded end to
+    end (see bundle._pshard). Pads P to a mesh multiple; padded points have
+    all slots masked and are pinned by the solver's zero-diagonal prior —
+    the CALLER must pad its X0 to match (lm_solve does)."""
+    n_dev = mesh.shape[axis_name]
+    n_pts = problem.uv.shape[0]
+    pad = _pad_len(max(n_pts, n_dev), n_dev) - n_pts
+
+    def pad_p(a, fill=0):
+        a = np.asarray(a)
+        if pad == 0:
+            return a
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths, constant_values=fill)
+
+    p_sharding = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+    return replace(
+        problem,
+        uv=jax.device_put(pad_p(problem.uv), p_sharding),
+        obs_mask=jax.device_put(pad_p(problem.obs_mask, fill=False), p_sharding),
+        **{
+            f: jax.device_put(np.asarray(getattr(problem, f)), rep)
+            for f in (
+                "K0", "dist0", "fisheye", "inv_fx", "param_free",
+                "con_pa_idx", "con_pa_w", "con_pb_idx", "con_pb_w",
+                "con_target", "con_weight",
+            )
+        },
+    )
+
+
+def shard_problem(problem, mesh: Mesh, axis_name: str = OBS_AXIS):
     """Pad the observation axis to the mesh size and place arrays:
     per-observation arrays sharded along `axis_name`, everything else
-    (cameras, constraints) replicated."""
+    (cameras, constraints) replicated. Dispatches on the problem layout."""
+    if isinstance(problem, BADenseProblem):
+        return shard_dense_problem(problem, mesh, axis_name)
     n_dev = mesh.shape[axis_name]
     N = problem.n_obs
     N_pad = _pad_len(max(N, n_dev), n_dev)

@@ -44,6 +44,8 @@ import numpy as np
 from caliscope_tpu.ops.reprojection import (
     N_CAM_PARAMS,
     constraint_jacobian_blocks,
+    dense_observation_jacobian_blocks,
+    dense_observation_residuals,
     observation_jacobian_blocks,
     observation_residuals,
     constraint_residuals,
@@ -142,6 +144,64 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclass
+class BADenseProblem:
+    """Bundle-adjustment problem in the DENSE (P, C) observation layout.
+
+    Key insight (TPU-first): a camera observes a world point at most once,
+    so the observation structure is bounded by the dense points x cameras
+    grid. Storing it that way turns both observation indices into ARRAY
+    AXES — the solver needs no cam_idx/pt_idx gathers and no segment-sum
+    scatters anywhere; every normal-equation reduction is a dense einsum
+    XLA maps straight onto the MXU. The cost is padding: unobserved (p, c)
+    slots carry obs_mask=False and contribute exact zeros. Worth it when
+    the grid is reasonably full (the canonical 8-camera session is ~50%
+    dense); volume.optimize picks the layout automatically.
+
+    Not applicable when one (point, camera) pair has multiple observations
+    (static objects collapse many sync indices onto one world point) —
+    make_problem's sparse row layout remains the general path.
+    """
+
+    uv: jnp.ndarray  # (P, C, 2) pixels
+    obs_mask: jnp.ndarray  # (P, C) bool
+    K0: jnp.ndarray  # (C,3,3)
+    dist0: jnp.ndarray  # (C,5)
+    fisheye: jnp.ndarray  # (C,)
+    inv_fx: jnp.ndarray  # (C,)
+    param_free: jnp.ndarray  # (C,9)
+    con_pa_idx: jnp.ndarray
+    con_pa_w: jnp.ndarray
+    con_pb_idx: jnp.ndarray
+    con_pb_w: jnp.ndarray
+    con_target: jnp.ndarray
+    con_weight: jnp.ndarray
+
+    @property
+    def n_cameras(self) -> int:
+        return self.K0.shape[0]
+
+    @property
+    def n_obs(self) -> int:
+        # static shape proxy (the mask's true count is data-dependent)
+        return self.uv.shape[0] * self.uv.shape[1]
+
+    @property
+    def n_constraints(self) -> int:
+        return self.con_target.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    BADenseProblem,
+    data_fields=[
+        "uv", "obs_mask", "K0", "dist0", "fisheye", "inv_fx", "param_free",
+        "con_pa_idx", "con_pa_w", "con_pb_idx", "con_pb_w", "con_target",
+        "con_weight",
+    ],
+    meta_fields=[],
+)
+
+
 def make_problem(
     cam_idx,
     pt_idx,
@@ -220,6 +280,80 @@ def make_problem(
     return jax.device_put(host)
 
 
+def make_dense_problem(
+    cam_idx,
+    pt_idx,
+    uv,
+    K0,
+    dist0,
+    fisheye,
+    n_points: int,
+    refine_intrinsics: bool = False,
+    fixed_cameras=None,
+    constraints=None,
+    obs_mask=None,
+    dtype=None,
+) -> BADenseProblem:
+    """Build a BADenseProblem by scattering sparse observation rows into the
+    (n_points, C) grid host-side. Requires every unmasked (pt, cam) pair to
+    be unique — callers with duplicate pairs (static objects) must use
+    make_problem. Rows with pt_idx >= n_points or obs_mask=False are dropped.
+    """
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    C = K0.shape[0]
+    cam_idx = np.asarray(cam_idx, np.int64)
+    pt_idx = np.asarray(pt_idx, np.int64)
+    uv = np.asarray(uv)
+    keep = pt_idx < n_points
+    if obs_mask is not None:
+        keep = keep & np.asarray(obs_mask, bool)
+    cam_k, pt_k, uv_k = cam_idx[keep], pt_idx[keep], uv[keep]
+    flat = pt_k * C + cam_k
+    if len(np.unique(flat)) != len(flat):
+        raise ValueError(
+            "dense layout needs one observation per (point, camera) pair; "
+            "this problem has duplicates (static objects?) — use make_problem"
+        )
+    grid_uv = np.zeros((n_points, C, 2), np_dtype)
+    grid_mask = np.zeros((n_points, C), bool)
+    grid_uv[pt_k, cam_k] = uv_k
+    grid_mask[pt_k, cam_k] = True
+
+    param_free = np.zeros((C, N_CAM_PARAMS), bool)
+    param_free[:, :6] = True
+    if fixed_cameras is not None:
+        param_free[np.asarray(fixed_cameras, bool), :6] = False
+    if refine_intrinsics:
+        param_free[:, 6:] = True
+    if constraints is not None:
+        pa_idx, pa_w, pb_idx, pb_w, target, weight = constraints
+    else:
+        pa_idx = np.zeros((0, 4), np.int32)
+        pa_w = np.zeros((0, 4))
+        pb_idx = np.zeros((0, 4), np.int32)
+        pb_w = np.zeros((0, 4))
+        target = np.zeros(0)
+        weight = np.zeros(0)
+    fx = np.asarray(K0)[:, 0, 0]
+    host = BADenseProblem(
+        uv=grid_uv,
+        obs_mask=grid_mask,
+        K0=np.asarray(K0, np_dtype),
+        dist0=np.asarray(dist0, np_dtype),
+        fisheye=np.asarray(fisheye, bool),
+        inv_fx=np.asarray(1.0 / fx, np_dtype),
+        param_free=np.asarray(param_free, bool),
+        con_pa_idx=np.asarray(pa_idx, np.int32),
+        con_pa_w=np.asarray(pa_w, np_dtype),
+        con_pb_idx=np.asarray(pb_idx, np.int32),
+        con_pb_w=np.asarray(pb_w, np_dtype),
+        con_target=np.asarray(target, np_dtype),
+        con_weight=np.asarray(weight, np_dtype),
+    )
+    return jax.device_put(host)
+
+
 def initial_cam9(camera_array, cam_ids=None) -> np.ndarray:
     """Stack posed cameras into the (C,9) parameter block layout."""
     ids = cam_ids if cam_ids is not None else sorted(camera_array.posed_cameras.keys())
@@ -252,8 +386,45 @@ def _pshard(x, mesh, *spec):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, PartitionSpec(*spec)))
 
 
-def _masked_blocks(problem: BAProblem, cam9, X, loss: str, f_scale: float):
+def _constraint_blocks(problem, X, r_dtype):
+    """Shared constraint-row assembly (layout-independent: constraints key
+    world points only)."""
+    if problem.n_constraints:
+        rq, qidx, Jq = constraint_jacobian_blocks(
+            X, problem.con_pa_idx, problem.con_pa_w, problem.con_pb_idx,
+            problem.con_pb_w, problem.con_target, problem.con_weight,
+        )
+        # constraints always use linear loss (they are metric priors)
+        cost_con = 0.5 * jnp.sum(rq**2)
+    else:
+        rq = jnp.zeros((0,), r_dtype)
+        qidx = jnp.zeros((0, 8), jnp.int32)
+        Jq = jnp.zeros((0, 8, 3), r_dtype)
+        cost_con = 0.0
+    return rq, qidx, Jq, cost_con
+
+
+def _masked_blocks_dense(problem: BADenseProblem, cam9, X, loss: str, f_scale: float):
+    """Dense-layout residuals/weights/blocks: (P, C, ...) tensors, no
+    index arrays anywhere."""
+    r, Jc, Jp = dense_observation_jacobian_blocks(
+        cam9, X, problem.uv, problem.K0, problem.dist0, problem.fisheye, problem.inv_fx
+    )
+    m = problem.obs_mask[..., None]  # (P,C,1)
+    r = jnp.where(m, r, 0.0)
+    free = problem.param_free.astype(r.dtype)  # (C,9)
+    Jc = jnp.where(m[..., None], Jc, 0.0) * free[None, :, None, :]
+    Jp = jnp.where(m[..., None], Jp, 0.0)
+    w_obs, cost_obs = robust_weights_and_cost((r**2).reshape(-1), loss, f_scale)
+    w_obs = w_obs.reshape(r.shape)
+    rq, qidx, Jq, cost_con = _constraint_blocks(problem, X, r.dtype)
+    return r, w_obs, Jc, Jp, rq, qidx, Jq, cost_obs + cost_con
+
+
+def _masked_blocks(problem, cam9, X, loss: str, f_scale: float):
     """Residuals, IRLS weights, Jacobian blocks and total robust cost."""
+    if isinstance(problem, BADenseProblem):
+        return _masked_blocks_dense(problem, cam9, X, loss, f_scale)
     r, Jc, Jp = observation_jacobian_blocks(
         cam9, X, problem.cam_idx, problem.pt_idx, problem.uv,
         problem.K0, problem.dist0, problem.fisheye, problem.inv_fx,
@@ -268,23 +439,24 @@ def _masked_blocks(problem: BAProblem, cam9, X, loss: str, f_scale: float):
     Jp = jnp.where(m[..., None], Jp, 0.0)
     w_obs, cost_obs = robust_weights_and_cost((r**2).ravel(), loss, f_scale)
     w_obs = w_obs.reshape(r.shape)
-
-    if problem.n_constraints:
-        rq, qidx, Jq = constraint_jacobian_blocks(
-            X, problem.con_pa_idx, problem.con_pa_w, problem.con_pb_idx,
-            problem.con_pb_w, problem.con_target, problem.con_weight,
-        )
-        # constraints always use linear loss (they are metric priors)
-        cost_con = 0.5 * jnp.sum(rq**2)
-    else:
-        rq = jnp.zeros((0,), r.dtype)
-        qidx = jnp.zeros((0, 8), jnp.int32)
-        Jq = jnp.zeros((0, 8, 3), r.dtype)
-        cost_con = 0.0
+    rq, qidx, Jq, cost_con = _constraint_blocks(problem, X, r.dtype)
     return r, w_obs, Jc, Jp, rq, qidx, Jq, cost_obs + cost_con
 
 
-def _cost_only(problem: BAProblem, cam9, X, loss: str, f_scale: float):
+def _cost_only(problem, cam9, X, loss: str, f_scale: float):
+    if isinstance(problem, BADenseProblem):
+        r = dense_observation_residuals(
+            cam9, X, problem.uv, problem.K0, problem.dist0, problem.fisheye, problem.inv_fx
+        )
+        r = jnp.where(problem.obs_mask[..., None], r, 0.0)
+        _, cost_obs = robust_weights_and_cost((r**2).reshape(-1), loss, f_scale)
+        if problem.n_constraints:
+            rq = constraint_residuals(
+                X, problem.con_pa_idx, problem.con_pa_w, problem.con_pb_idx,
+                problem.con_pb_w, problem.con_target, problem.con_weight,
+            )
+            return cost_obs + 0.5 * jnp.sum(rq**2)
+        return cost_obs
     r = observation_residuals(
         cam9, X, problem.cam_idx, problem.pt_idx, problem.uv,
         problem.K0, problem.dist0, problem.fisheye, problem.inv_fx,
@@ -300,6 +472,37 @@ def _cost_only(problem: BAProblem, cam9, X, loss: str, f_scale: float):
     return cost_obs
 
 
+def _constraint_grad_diag(problem, qidx, Jq, rq, g_p, d_p):
+    """Fold constraint rows into the point gradient/diagonal, then pin
+    fully-unobserved point blocks with the identity (their gradient is zero,
+    so their update stays exactly zero)."""
+    if problem.n_constraints:
+        flat_idx = qidx.reshape(-1)
+        g_p = g_p.at[flat_idx].add((Jq * rq[:, None, None]).reshape(-1, 3))
+        dq = jnp.einsum("qki,qkj->qkij", Jq, Jq).reshape(-1, 3, 3)
+        d_p = d_p.at[flat_idx].add(dq)
+    pinned = jnp.einsum("pii->p", d_p) == 0
+    d_p = d_p + pinned[:, None, None] * jnp.eye(3, dtype=d_p.dtype)
+    return g_p, d_p
+
+
+def _gradient_and_diag_dense(problem, w, r, Jc, Jp, rq, qidx, Jq, mesh=None):
+    """Dense-layout g = J^T W r and diag(J^T W J): the camera and point
+    reductions are plain einsums over the (P, C) grid — the slot position IS
+    the index, so there is no one-hot expansion and no segment scatter.
+    Two-operand staging throughout (multi-operand einsum contraction order
+    is XLA's to botch)."""
+    wr = w * r  # (P,C,2)
+    U = Jc * w[..., None]  # (P,C,2,9)
+    g_c = jnp.einsum("pcri,pcr->ci", Jc, wr)
+    d_c = jnp.einsum("pcri,pcrj->cij", U, Jc)
+    Up = Jp * w[..., None]  # (P,C,2,3)
+    g_p = _pshard(jnp.einsum("pcri,pcr->pi", Jp, wr), mesh, "obs")
+    d_p = _pshard(jnp.einsum("pcri,pcrj->pij", Up, Jp), mesh, "obs")
+    g_p, d_p = _constraint_grad_diag(problem, qidx, Jq, rq, g_p, d_p)
+    return g_c, g_p, d_c, d_p
+
+
 def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh=None):
     """g = J^T W r and diag(J^T W J).
 
@@ -309,6 +512,8 @@ def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh=None)
     materializes the (N,9,9) outer products through HBM. Point-side
     reductions (n_points segments) stay as segment sums.
     """
+    if isinstance(problem, BADenseProblem):
+        return _gradient_and_diag_dense(problem, w, r, Jc, Jp, rq, qidx, Jq, mesh)
     C = problem.n_cameras
     wr = w * r  # (N,2)
     # (2N, C) one-hot over flattened residual rows; explicit matmul staging
@@ -333,22 +538,21 @@ def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh=None)
     )
     g_p = gp_dp[:, :3]
     d_p = gp_dp[:, 3:].reshape(-1, 3, 3)
-    if problem.n_constraints:
-        flat_idx = qidx.reshape(-1)
-        g_p = g_p.at[flat_idx].add((Jq * rq[:, None, None]).reshape(-1, 3))
-        dq = jnp.einsum("qki,qkj->qkij", Jq, Jq).reshape(-1, 3, 3)
-        d_p = d_p.at[flat_idx].add(dq)
-    # A point with no unmasked observation and no constraint (shape-bucketed
-    # padding, or a fully-masked point) has an exactly-zero diagonal block;
-    # pin it with the identity so every solver backend stays well-conditioned.
-    # Its gradient is zero, so its update stays exactly zero.
-    pinned = jnp.einsum("pii->p", d_p) == 0
-    d_p = d_p + pinned[:, None, None] * jnp.eye(3, dtype=d_p.dtype)
+    g_p, d_p = _constraint_grad_diag(problem, qidx, Jq, rq, g_p, d_p)
     return g_c, g_p, d_c, d_p
 
 
 def _hessian_matvec(problem, w, Jc, Jp, qidx, Jq, vc, vp):
     """(H v) for H = J^T W J, matrix-free via the per-row blocks."""
+    if isinstance(problem, BADenseProblem):
+        Jv = jnp.einsum("pcri,ci->pcr", Jc, vc) + jnp.einsum("pcri,pi->pcr", Jp, vp)
+        wJv = w * Jv
+        out_c = jnp.einsum("pcri,pcr->ci", Jc, wJv)
+        out_p = jnp.einsum("pcri,pcr->pi", Jp, wJv)
+        if problem.n_constraints:
+            zq = jnp.einsum("qkj,qkj->q", Jq, vp[qidx])
+            out_p = out_p.at[qidx.reshape(-1)].add((Jq * zq[:, None, None]).reshape(-1, 3))
+        return out_c, out_p
     C = problem.n_cameras
     P = vp.shape[0]
     Jv = jnp.einsum("nij,nj->ni", Jc, vc[problem.cam_idx]) + jnp.einsum(
@@ -375,13 +579,25 @@ def _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam):
     calibration-scale problems. Dim = 9C + 3P.
     """
     C, P = problem.n_cameras, g_p.shape[0]
+    if isinstance(problem, BADenseProblem):
+        # flatten the (P, C) grid to sparse-style rows with iota indices;
+        # the scatter assembly below is layout-agnostic from here on
+        Pg, Cg = problem.obs_mask.shape
+        cam_idx_rows = jnp.tile(jnp.arange(Cg, dtype=jnp.int32), Pg)
+        pt_idx_rows = jnp.repeat(jnp.arange(Pg, dtype=jnp.int32), Cg)
+        w = w.reshape(Pg * Cg, 2)
+        Jc = Jc.reshape(Pg * Cg, 2, N_CAM_PARAMS)
+        Jp = Jp.reshape(Pg * Cg, 2, 3)
+    else:
+        cam_idx_rows = problem.cam_idx
+        pt_idx_rows = problem.pt_idx
     dim = N_CAM_PARAMS * C + 3 * P
     dt = g_c.dtype
     H = jnp.zeros((dim, dim), dt)
 
     # camera-camera diagonal blocks
-    cam_off = problem.cam_idx * N_CAM_PARAMS
-    pt_off = N_CAM_PARAMS * C + problem.pt_idx * 3
+    cam_off = cam_idx_rows * N_CAM_PARAMS
+    pt_off = N_CAM_PARAMS * C + pt_idx_rows * 3
     ci = cam_off[:, None] + jnp.arange(N_CAM_PARAMS)[None, :]  # (N,9)
     pi = pt_off[:, None] + jnp.arange(3)[None, :]  # (N,3)
 
@@ -467,17 +683,22 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
     Hpp = d_p + jax.vmap(jnp.diag)(lam * diag_p) + 1e-12 * jnp.eye(3, dtype=dt)
     Hpp_inv = _pshard(_inv3x3(Hpp), mesh, "obs")
 
-    W_blocks = jnp.einsum("nij,ni,nik->njk", Jc, w, Jp)  # (N,9,3)
-    # flat segment_sum instead of .at[].add: XLA's sorted-segment lowering is
-    # ~4x faster than 2-D scatter-add for this shape on TPU. The key is
-    # PT-MAJOR so make_problem's (pt, cam) row order keeps it sorted; the
-    # (P, C, ...) result is transposed to the (C, P, ...) block layout the
-    # einsums below consume (a layout change XLA folds into them).
-    seg = problem.pt_idx.astype(jnp.int32) * C + problem.cam_idx.astype(jnp.int32)
-    G = jax.ops.segment_sum(
-        W_blocks.reshape(-1, N_CAM_PARAMS * 3), seg, C * P, indices_are_sorted=True
-    )
-    G = _pshard(G.reshape(P, C, N_CAM_PARAMS, 3).transpose(1, 0, 2, 3), mesh, None, "obs")
+    if isinstance(problem, BADenseProblem):
+        # the coupling tensor IS the per-slot product — no segment sum at all
+        U = Jc * w[..., None]  # (P,C,2,9)
+        G = _pshard(jnp.einsum("pcri,pcrk->cpik", U, Jp), mesh, None, "obs")
+    else:
+        W_blocks = jnp.einsum("nij,ni,nik->njk", Jc, w, Jp)  # (N,9,3)
+        # flat segment_sum instead of .at[].add: XLA's sorted-segment lowering
+        # is ~4x faster than 2-D scatter-add for this shape on TPU. The key is
+        # PT-MAJOR so make_problem's (pt, cam) row order keeps it sorted; the
+        # (P, C, ...) result is transposed to the (C, P, ...) block layout the
+        # einsums below consume (a layout change XLA folds into them).
+        seg = problem.pt_idx.astype(jnp.int32) * C + problem.cam_idx.astype(jnp.int32)
+        G = jax.ops.segment_sum(
+            W_blocks.reshape(-1, N_CAM_PARAMS * 3), seg, C * P, indices_are_sorted=True
+        )
+        G = _pshard(G.reshape(P, C, N_CAM_PARAMS, 3).transpose(1, 0, 2, 3), mesh, None, "obs")
     Y = jnp.einsum("cpij,pjk->cpik", G, Hpp_inv)  # (C,P,9,3)
     S = -jnp.einsum("cpik,dpjk->cidj", Y, G)  # (C,9,C,9)
     S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(A_cc)
@@ -523,20 +744,34 @@ def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, 
     A_inv = jnp.linalg.inv(A_cc)  # (C,9,9) exact block preconditioner
     P_pts = g_p.shape[0]
 
-    def G_T(vc):
-        """G^T v: (C,9) -> (P,3), one obs pass."""
-        t = w * jnp.einsum("nij,nj->ni", Jc, vc[problem.cam_idx])  # (N,2)
-        u = jax.ops.segment_sum(
-            jnp.einsum("nij,ni->nj", Jp, t), problem.pt_idx, P_pts, indices_are_sorted=True
-        )
-        return _pshard(u, mesh, "obs")
+    if isinstance(problem, BADenseProblem):
 
-    def G(vp):
-        """G v: (P,3) -> (C,9), one obs pass (one-hot matmul on the tiny
-        camera axis, same rationale as _gradient_and_diag)."""
-        a = w * jnp.einsum("nij,nj->ni", Jp, vp[problem.pt_idx])  # (N,2)
-        Oc = jax.nn.one_hot(problem.cam_idx, C, dtype=dt)  # (N,C)
-        return Oc.T @ jnp.einsum("nij,ni->nj", Jc, a)
+        def G_T(vc):
+            """G^T v: (C,9) -> (P,3), dense einsums."""
+            t = w * jnp.einsum("pcij,cj->pci", Jc, vc)
+            return _pshard(jnp.einsum("pcij,pci->pj", Jp, t), mesh, "obs")
+
+        def G(vp):
+            """G v: (P,3) -> (C,9), dense einsums."""
+            a = w * jnp.einsum("pcij,pj->pci", Jp, vp)
+            return jnp.einsum("pcij,pci->cj", Jc, a)
+
+    else:
+
+        def G_T(vc):
+            """G^T v: (C,9) -> (P,3), one obs pass."""
+            t = w * jnp.einsum("nij,nj->ni", Jc, vc[problem.cam_idx])  # (N,2)
+            u = jax.ops.segment_sum(
+                jnp.einsum("nij,ni->nj", Jp, t), problem.pt_idx, P_pts, indices_are_sorted=True
+            )
+            return _pshard(u, mesh, "obs")
+
+        def G(vp):
+            """G v: (P,3) -> (C,9), one obs pass (one-hot matmul on the tiny
+            camera axis, same rationale as _gradient_and_diag)."""
+            a = w * jnp.einsum("nij,nj->ni", Jp, vp[problem.pt_idx])  # (N,2)
+            Oc = jax.nn.one_hot(problem.cam_idx, C, dtype=dt)  # (N,C)
+            return Oc.T @ jnp.einsum("nij,ni->nj", Jc, a)
 
     def S_mv(vc):
         zp = jnp.einsum("pij,pj->pi", Hpp_inv, G_T(vc))
@@ -839,10 +1074,18 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
             "or 'auto'."
         )
     mesh = _resolve_mesh(problem, config, mesh)
+    P_orig = P
     if mesh is not None:
         from caliscope_tpu.parallel.sharded import shard_problem
 
         problem = shard_problem(problem, mesh)
+        if isinstance(problem, BADenseProblem) and problem.uv.shape[0] != P:
+            # the dense layout's point axis was padded to a mesh multiple;
+            # pad X0 to match (centroid fill: benign, zero-gradient, pinned)
+            X0 = np.asarray(X0)
+            extra = problem.uv.shape[0] - P
+            X0 = np.concatenate([X0, np.tile(X0.mean(axis=0), (extra, 1))])
+            P = X0.shape[0]
 
     if config.solver != "auto":
         solver_kind = config.solver
@@ -927,7 +1170,7 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
 
     return BAResult(
         cam9=to_host(cam9),
-        X=to_host(X),
+        X=to_host(X)[:P_orig],
         cost_initial=float(cost0),
         cost_final=float(cost),
         n_iterations=int(it),

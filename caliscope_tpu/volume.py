@@ -336,6 +336,7 @@ class CaptureVolume:
             bound_warnings,
             initial_cam9,
             lm_solve,
+            make_dense_problem,
             make_problem,
         )
 
@@ -361,23 +362,45 @@ class CaptureVolume:
 
         N_real, P_real = len(uv), len(self.world_points)
         Nb, Pb = bucket_size(N_real, fine=True), bucket_size(P_real + 1, fine=True)
-        obs_mask = np.zeros(Nb, bool)
-        obs_mask[:N_real] = True
         X0 = np.empty((Pb, 3))
         X0[:P_real] = self.world_points.xyz
         X0[P_real:] = self.world_points.xyz.mean(axis=0)
 
-        problem = make_problem(
-            pad_rows(cam_idx, Nb),
-            pad_rows(obj_idx, Nb, fill=Pb - 1),
-            pad_rows(uv, Nb),
-            views.K,
-            views.dist,
-            views.fisheye,
-            refine_intrinsics=refine_intrinsics,
-            constraints=constraint_arrays,
-            obs_mask=obs_mask,
-        )
+        # Layout choice: the DENSE (P, C) grid eliminates every index
+        # gather/scatter from the LM iteration (solvers/bundle.py
+        # BADenseProblem) and is the faster program whenever the grid is
+        # reasonably full. It requires unique (point, camera) pairs —
+        # static objects collapse many frames onto one point and keep the
+        # sparse row layout.
+        n_cams = len(views.K)
+        pair_key = obj_idx.astype(np.int64) * n_cams + cam_idx
+        unique_pairs = len(np.unique(pair_key)) == len(pair_key)
+        if unique_pairs and Pb * n_cams <= 3 * max(N_real, 1):
+            problem = make_dense_problem(
+                cam_idx,
+                obj_idx,
+                uv,
+                views.K,
+                views.dist,
+                views.fisheye,
+                n_points=Pb,
+                refine_intrinsics=refine_intrinsics,
+                constraints=constraint_arrays,
+            )
+        else:
+            obs_mask = np.zeros(Nb, bool)
+            obs_mask[:N_real] = True
+            problem = make_problem(
+                pad_rows(cam_idx, Nb),
+                pad_rows(obj_idx, Nb, fill=Pb - 1),
+                pad_rows(uv, Nb),
+                views.K,
+                views.dist,
+                views.fisheye,
+                refine_intrinsics=refine_intrinsics,
+                constraints=constraint_arrays,
+                obs_mask=obs_mask,
+            )
         cam9_0 = initial_cam9(self.camera_array)
         config = BAConfig(
             loss=loss,

@@ -274,3 +274,90 @@ class TestImplicitSchur:
         cam9 = initial_cam9(scene.cameras)
         with pytest.raises(ValueError, match="schur_cg"):
             lm_solve(problem, cam9, X0, BAConfig(solver="schur_cg"))
+
+
+class TestDenseLayout:
+    """The dense (P, C) observation layout must be numerically interchangeable
+    with the sparse row layout on every solver path (solvers/bundle.py
+    BADenseProblem — the production layout volume.optimize picks at scale)."""
+
+    def _both_problems(self, rng, constraints=None):
+        scene, ip, views, cam_idx, pt_idx, X0, sparse = _scene_problem(noise=0.4)
+        from caliscope_tpu.solvers.bundle import make_dense_problem
+
+        if constraints is not None:
+            sparse = make_problem(
+                cam_idx, pt_idx, ip.img_xy, views.K, views.dist, views.fisheye,
+                constraints=constraints,
+            )
+        dense = make_dense_problem(
+            cam_idx, pt_idx, ip.img_xy, views.K, views.dist, views.fisheye,
+            n_points=X0.shape[0], constraints=constraints,
+        )
+        cam9 = initial_cam9(scene.cameras)
+        cam9 = cam9 + rng.normal(scale=0.01, size=cam9.shape)
+        return sparse, dense, cam9, X0
+
+    @pytest.mark.parametrize("solver", ["dense", "schur", "schur_cg", "cg"])
+    def test_solvers_match_sparse_layout(self, rng, solver):
+        sparse, dense, cam9, X0 = self._both_problems(rng)
+        cfg = BAConfig(solver=solver, max_iter=20, ftol=1e-12, gtol=0.0, cg_max_iter=100)
+        a = lm_solve(sparse, cam9, X0, cfg)
+        b = lm_solve(dense, cam9, X0, cfg)
+        assert b.cost_final == pytest.approx(a.cost_final, rel=1e-6)
+        np.testing.assert_allclose(b.cam9, a.cam9, atol=5e-6)
+
+    def test_constrained_matches_sparse_layout(self, rng):
+        con = (
+            np.zeros((1, 4), np.int32), np.array([[1.0, 0, 0, 0]]),
+            np.ones((1, 4), np.int32), np.array([[1.0, 0, 0, 0]]),
+            np.array([0.05]), np.array([10.0]),
+        )
+        sparse, dense, cam9, X0 = self._both_problems(rng, constraints=con)
+        cfg = BAConfig(solver="schur", max_iter=20, ftol=1e-12, gtol=0.0)
+        a = lm_solve(sparse, cam9, X0, cfg)
+        b = lm_solve(dense, cam9, X0, cfg)
+        assert b.cost_final == pytest.approx(a.cost_final, rel=1e-6)
+
+    def test_duplicate_pairs_rejected(self):
+        from caliscope_tpu.solvers.bundle import make_dense_problem
+
+        K = np.tile(np.eye(3) * 100.0, (2, 1, 1))
+        K[:, 2, 2] = 1.0
+        with pytest.raises(ValueError, match="duplicates"):
+            make_dense_problem(
+                np.array([0, 0]), np.array([1, 1]), np.zeros((2, 2)),
+                K, np.zeros((2, 5)), np.zeros(2, bool), n_points=4,
+            )
+
+    def test_sharded_dense_matches_single_placement(self, rng):
+        """Point-axis sharding over the virtual mesh, including a point count
+        that does NOT divide the mesh (pad + trim path)."""
+        from caliscope_tpu.parallel.sharded import make_obs_mesh
+        from caliscope_tpu.solvers.bundle import make_dense_problem
+
+        scene, ip, views, cam_idx, pt_idx, X0, _ = _scene_problem(noise=0.4)
+        n_pts = X0.shape[0]
+        if n_pts % 8 == 0:  # force the ragged pad path
+            keep = pt_idx != (n_pts - 1)
+            cam_idx, pt_idx = cam_idx[keep], pt_idx[keep]
+            ip_xy = ip.img_xy[keep]
+            n_pts -= 1
+            X0 = X0[:n_pts]
+        else:
+            ip_xy = ip.img_xy
+        dense = make_dense_problem(
+            cam_idx, pt_idx, ip_xy, views.K, views.dist, views.fisheye, n_points=n_pts
+        )
+        dense2 = make_dense_problem(
+            cam_idx, pt_idx, ip_xy, views.K, views.dist, views.fisheye, n_points=n_pts
+        )
+        cam9 = initial_cam9(scene.cameras) + rng.normal(scale=0.01, size=(len(views.K), 9))
+        cfg = BAConfig(solver="schur", max_iter=15, ftol=1e-12, gtol=0.0)
+        single = lm_solve(dense, cam9, X0, cfg)
+        mesh = make_obs_mesh(jax.devices("cpu"))
+        sharded = lm_solve(dense2, cam9, X0, cfg, mesh=mesh)
+        assert sharded.n_devices == len(jax.devices("cpu"))
+        assert sharded.X.shape == (n_pts, 3)
+        assert sharded.cost_final == pytest.approx(single.cost_final, rel=1e-8)
+        np.testing.assert_allclose(sharded.cam9, single.cam9, atol=1e-8)

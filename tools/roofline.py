@@ -26,45 +26,59 @@ V5E_PEAK_HBM_GBS = 819.0
 F32 = 4  # bytes
 
 
-def lm_iteration_flops_bytes(n_obs: int, n_points: int, n_cameras: int) -> tuple[float, float]:
+def lm_iteration_flops_bytes(
+    n_obs: int, n_points: int, n_cameras: int, dense_grid_points: int | None = None
+) -> tuple[float, float]:
     """(flops, lower-bound HBM bytes) for one LM iteration, Schur solver,
     no constraints — the canonical-scale production shape.
 
+    dense_grid_points: the bucketed point count of the DENSE (P, C) layout
+    (solvers/bundle.py BADenseProblem — the production layout at this
+    scale). Per-slot work then runs over the FULL P x C grid (masked slots
+    cost flops too), but the index vectors, one-hot expansion and segment
+    scatters all vanish. Pass None to model from volume.optimize's own
+    quarter-octave bucketing of n_points.
+
     Derivation (stage names match solvers/bundle.py):
-      blocks    — jacfwd of the 12-parameter projection per observation:
-                  ~12 tangent passes x ~110 flops + the primal ~= 1.4k/obs;
-                  writes r (2), Jc (18), Jp (6) floats per obs.
-      grad/diag — one-hot camera matmuls: 2N x C x (9 + 81) MACs;
-                  the (2N, 81) UB intermediate is written + read;
-                  point-side fused segment payload: 12 floats/obs written.
-      schur     — W blocks N x (9x3) MACs; G seg-sum writes C*P*27;
+      blocks    — jacfwd of the 12-parameter projection per slot:
+                  ~12 tangent passes x ~110 flops + the primal ~= 1.4k/slot;
+                  writes r (2), Jc (18), Jp (6) floats per slot.
+      grad/diag — dense einsums over the grid: slot x (18 + 162 + 6 + 18)
+                  MACs for g_c/d_c/g_p/d_p.
+      schur     — G = per-slot product (27 MACs/slot, no segment sum);
                   Y = G Hpp^-1 (C*P*162 flops, reads G writes Y);
                   S = -Y G^T (C^2 * 81 * P * 3 MACs, reads G and Y).
-      cost-only — one more projection pass per obs (~200 flops).
+      cost-only — one more projection pass per slot (~200 flops).
     """
-    N, P, C = float(n_obs), float(n_points), float(n_cameras)
+    P, C = float(n_points), float(n_cameras)
+    if dense_grid_points is None:
+        from caliscope_tpu.ops.bucket import bucket_size
+
+        dense_grid_points = bucket_size(n_points + 1, fine=True)
+    Pg = float(dense_grid_points)
+    slots = Pg * C
     flops = (
-        N * 1_400.0  # jacobian blocks (jacfwd)
-        + 2 * N * C * (9 + 81) * 2  # one-hot matmuls (MAC = 2 flops)
-        + N * (12 + 9 * 3 * 2 + 12)  # point payload + W blocks
-        + C * P * 162  # Y
-        + C * C * 81 * P * 3 * 2  # S contraction
-        + N * 200.0  # cost-only step-accept pass
+        slots * 1_400.0  # jacobian blocks (jacfwd)
+        + slots * (18 + 162 + 6 + 18) * 2  # gradient/diag einsums (MAC = 2)
+        + slots * 27 * 2  # G per-slot products
+        + C * Pg * 162  # Y
+        + C * C * 81 * Pg * 3 * 2  # S contraction
+        + slots * 200.0  # cost-only step-accept pass
     )
     bytes_lb = (
-        N * (2 + 18 + 6) * F32 * 2  # r/Jc/Jp written then read
-        + N * 2 * 81 * F32 * 2  # UB written + read
-        + N * 12 * F32  # fused point payload write
-        + C * P * 27 * F32 * 2 * 2  # G and Y, each written + read
-        + N * (2 * 4 + 2 * F32)  # index vectors + uv reads (i32 + f32)
-        + P * 12 * F32  # gp/dp out
+        slots * (2 + 18 + 6) * F32 * 2  # r/Jc/Jp written then read
+        + slots * 2 * F32  # uv reads
+        + C * Pg * 27 * F32 * 2 * 2  # G and Y, each written + read
+        + Pg * 12 * F32  # g_p/d_p out
     )
     return flops, bytes_lb
 
 
-def lm_iteration_roofline(n_obs: int, n_points: int, n_cameras: int, sec_per_iter: float) -> dict:
+def lm_iteration_roofline(
+    n_obs: int, n_points: int, n_cameras: int, sec_per_iter: float, dense_grid_points: int | None = None
+) -> dict:
     """Roofline fields for the bench JSON line (rates in G-units)."""
-    flops, bytes_lb = lm_iteration_flops_bytes(n_obs, n_points, n_cameras)
+    flops, bytes_lb = lm_iteration_flops_bytes(n_obs, n_points, n_cameras, dense_grid_points)
     gflops = flops / sec_per_iter / 1e9
     gbs = bytes_lb / sec_per_iter / 1e9
     return {
