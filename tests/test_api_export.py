@@ -95,7 +95,7 @@ class TestExtraction:
         for _ in range(4):
             w.write(np.zeros((64, 96, 3), np.uint8))
         w.release()
-        with pytest.raises(CalibrationError, match="No landmarks"):
+        with pytest.raises(CalibrationError, match="zero landmarks"):
             extract_image_points(path, 0, BlobTracker(), progress=None)
 
 

@@ -37,7 +37,7 @@ class TestTargets:
     def test_marker_set_validation(self):
         m = {0: ArucoMarker(0, 0.1), 1: ArucoMarker(1, 0.1)}
         ArucoMarkerSet("DICT_4X4_50", m)
-        with pytest.raises(ValueError, match="capacity"):
+        with pytest.raises(ValueError, match="outside the"):
             ArucoMarkerSet("DICT_4X4_50", {99: ArucoMarker(99, 0.1), 0: ArucoMarker(0, 0.1)})
         with pytest.raises(ValueError, match="static"):
             ArucoMarkerSet(
