@@ -423,21 +423,36 @@ def bench_scaling(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
 # ---------------------------------------------------------------------------
 
 
-def profile_iteration(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
+def profile_iteration(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv, layout: str = "dense"):
     """Chained-timing breakdown of the LM iteration's stages on the default
     device. Each stage runs CHAIN reps inside ONE jit with a data dependency
-    between reps (defeats loop hoisting; see PROFILE.md)."""
+    between reps (defeats loop hoisting; see PROFILE.md).
+
+    layout: 'dense' profiles the production (P, C) observation layout
+    (what CaptureVolume.optimize picks at canonical scale); 'sparse' the
+    sparse-row fallback. The stage functions dispatch on the problem type,
+    so both layouts share this harness.
+    """
     import jax
     import jax.numpy as jnp
 
+    from caliscope_tpu.ops.bucket import bucket_size
     from caliscope_tpu.solvers import bundle as B
 
-    problem = B.make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool))
+    if layout == "dense":
+        Pb = bucket_size(N_POINTS + 1, fine=True)
+        problem = B.make_dense_problem(
+            cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool), n_points=Pb
+        )
+        Xin = np.concatenate([X, np.tile(X.mean(axis=0), (Pb - N_POINTS, 1))])
+    else:
+        problem = B.make_problem(cam_idx, pt_idx, uv, K, dist, np.zeros(N_CAMERAS, bool))
+        Xin = X
     cam9 = jnp.asarray(np.concatenate([rvecs, tvecs, np.ones((N_CAMERAS, 1)), dist[:, :2]], axis=1),
                        np.asarray(problem.uv).dtype)
-    Xd = jnp.asarray(X, cam9.dtype)
+    Xd = jnp.asarray(Xin, cam9.dtype)
     lam = jnp.asarray(1e-4, cam9.dtype)
-    n_points = X.shape[0]
+    n_points = Xin.shape[0]
     CHAIN = 10
 
     def chain(fn):
@@ -488,7 +503,7 @@ def profile_iteration(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
         ("  + cg solve (instead)", chain(make_solver_stage("cg"))),
         ("cost-only eval (step accept)", chain(stage_cost)),
     ]
-    print(f"# LM iteration profile @ {N_OBS} obs / {N_POINTS} pts / {N_CAMERAS} cams (cumulative stages)")
+    print(f"# LM iteration profile [{layout} layout] @ {N_OBS} obs / {N_POINTS} pts / {N_CAMERAS} cams (cumulative stages)")
     for name, secs in rows:
         print(f"{name:34s} {secs * 1e3:9.2f} ms/rep")
     return rows
@@ -624,7 +639,14 @@ def main():
 
     if "--profile" in sys.argv:
         data = _synth_problem()
-        profile_iteration(*data)
+        if "--sparse" in sys.argv:
+            layouts = ["sparse"]
+        elif "--dense" in sys.argv:
+            layouts = ["dense"]
+        else:
+            layouts = ["dense", "sparse"]
+        for layout in layouts:
+            profile_iteration(*data, layout=layout)
         return
 
     if want("detect"):

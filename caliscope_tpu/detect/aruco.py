@@ -21,14 +21,14 @@ import numpy as np
 from caliscope_tpu.detect.dictionaries import ArucoDictionary, get_dictionary, match_bits
 from caliscope_tpu.detect.kernels import (
     adaptive_threshold,
-    component_candidates,
-    connected_components,
+    component_candidates_sorted,
     extract_patches,
     integral_image,
     quad_corners_from_mask,
     refine_quad_edges,
     sample_marker_bits,
 )
+from caliscope_tpu.detect.pallas_ccl import connected_components_dispatch
 
 
 @dataclass
@@ -51,10 +51,11 @@ def marker_graph(imgs, n_bits: int, k_max: int, patch: int, min_area: int, ccl_i
     Connectivity runs at FULL resolution — pooling the mask before labeling
     was measured to bridge the 1-px diagonal contacts of chessboard squares
     and swallow the quiet zones of ~24 px markers on real footage. The
-    expensive parts are made TPU-cheap elsewhere: per-component statistics
-    use dense rank ids + two fused scatters over a pooled grid
-    (component_candidates), and patches are contiguous dynamic-slice
-    windows from a pyramid (extract_patches)."""
+    expensive parts are made TPU-cheap elsewhere: labeling runs in a single
+    VMEM-resident Pallas kernel on TPU (pallas_ccl.py), per-component
+    statistics come from a sort + segmented scans over a pooled grid with no
+    scatters (component_candidates_sorted), and patches are contiguous
+    dynamic-slice windows from a pyramid (extract_patches)."""
     # multi-scale threshold union: small radius outlines small markers
     # sharply; the large radius keeps the interiors of big blobs foreground
     # (the reference's detector sweeps adaptive-threshold window sizes too)
@@ -62,8 +63,8 @@ def marker_graph(imgs, n_bits: int, k_max: int, patch: int, min_area: int, ccl_i
     binary = adaptive_threshold(imgs, radius=10, c=7.0, integral=integral) | adaptive_threshold(
         imgs, radius=26, c=7.0, integral=integral
     )
-    labels = connected_components(binary, n_iters=ccl_iters)
-    sel, areas, bbox, valid = component_candidates(binary, labels, k_max, float(min_area))
+    labels = connected_components_dispatch(binary, n_iters=ccl_iters)
+    sel, areas, bbox, valid = component_candidates_sorted(binary, labels, k_max, float(min_area))
     gray, mask, origin, scale = extract_patches(imgs, binary, labels, sel, bbox, patch)
     quads0 = quad_corners_from_mask(mask)
     quads = refine_quad_edges(gray, quads0)

@@ -284,6 +284,98 @@ def component_candidates(mask, labels, k_max: int, min_area: float, max_area_fra
     )
 
 
+def component_candidates_sorted(mask, labels, k_max: int, min_area: float, max_area_frac: float = 0.25, pool: int = 4):
+    """Top-K components by area within [min_area, max_area] per frame —
+    sort-based formulation, same contract as component_candidates.
+
+    The scatter formulation (component_candidates) pays three TPU-hostile
+    costs: a FULL-RESOLUTION root cumsum to build dense ids, a per-cell
+    gather of those ids, and two segment reductions that XLA lowers to
+    serialized scatters over c_max segments. This version needs none of
+    them: sort the POOLED cells by raw label value (background H*W sorts
+    last), and every per-component statistic becomes a segmented scan over
+    the sorted row — area is the run length, bbox the run min/max, the
+    representative label the run value itself. Runs replace segments, so
+    there is no id-space cap and no overflow bucket. All ops are sorts,
+    cumulative scans, and top_k — the vectorizing set.
+
+    Returns (sel_labels (B, K), areas (B, K), bbox (B, K, 4) [x0, y0, x1,
+    y1] cell-aligned + one-cell dilated, valid (B, K)) — bit-compatible with
+    component_candidates up to top-K tie order.
+    """
+    B, H, W = mask.shape
+    HW = H * W
+    Hp, Wp = H // pool, W // pool
+    lab_p = -jax.lax.reduce_window(
+        -labels[:, : Hp * pool, : Wp * pool], -(jnp.int32(HW)), jax.lax.max,
+        (1, pool, pool), (1, pool, pool), "VALID",
+    )
+    fg_p = pool_mask(mask, pool)
+    HWp = Hp * Wp
+    c = float(pool)
+    max_area = max_area_frac * HW
+    lab = jnp.where(fg_p, lab_p, jnp.int32(HW)).reshape(B, HWp)
+    xs = jnp.broadcast_to(
+        jnp.tile(jnp.arange(Wp, dtype=jnp.int32), Hp).reshape(1, HWp), (B, HWp)
+    )
+    ys = jnp.broadcast_to(
+        jnp.repeat(jnp.arange(Hp, dtype=jnp.int32), Wp).reshape(1, HWp), (B, HWp)
+    )
+    slab, sxs, sys_ = jax.lax.sort((lab, xs, ys), dimension=1, num_keys=1, is_stable=False)
+
+    pos = jnp.broadcast_to(jnp.arange(HWp, dtype=jnp.int32)[None, :], (B, HWp))
+    new_run = jnp.concatenate(
+        [jnp.ones((B, 1), bool), slab[:, 1:] != slab[:, :-1]], axis=1
+    )
+    # run start position, propagated to every element of the run
+    spos = jax.lax.cummax(jnp.where(new_run, pos, -1), axis=1)
+    # segmented extremes via the offset trick: runs are position-ordered, so
+    # v +- spos * M confines every cumulative extreme to its own run.
+    # |extreme| <= HWp * max(Wp, Hp) ~ 57600 * 320 << 2^31 at 720p/pool=4.
+    Mx = jnp.int32(Wp + 1)
+    My = jnp.int32(Hp + 1)
+    x_max = jax.lax.cummax(sxs + spos * Mx, axis=1) - spos * Mx
+    x_min = -(jax.lax.cummax(-sxs + spos * Mx, axis=1) - spos * Mx)
+    y_max = jax.lax.cummax(sys_ + spos * My, axis=1) - spos * My
+    y_min = -(jax.lax.cummax(-sys_ + spos * My, axis=1) - spos * My)
+
+    run_end = jnp.concatenate(
+        [slab[:, 1:] != slab[:, :-1], jnp.ones((B, 1), bool)], axis=1
+    )
+    area = (pos - spos + 1).astype(jnp.float32) * (c * c)
+    xmaxf = x_max.astype(jnp.float32) * c
+    xminf = x_min.astype(jnp.float32) * c
+    ymaxf = y_max.astype(jnp.float32) * c
+    yminf = y_min.astype(jnp.float32) * c
+    bw = xmaxf - xminf + c
+    bh = ymaxf - yminf + c
+    fill = area / jnp.maximum(bw * bh, 1.0)
+    eligible = (
+        run_end
+        & (slab < HW)
+        & (area >= min_area)
+        & (area <= max_area)
+        & (fill > 0.15)
+        & (bw >= 4)
+        & (bh >= 4)
+    )
+    score = jnp.where(eligible, area, -1.0)
+    top_area, top_pos = jax.lax.top_k(score, k_max)
+    valid = top_area > 0
+    take = lambda a: jnp.take_along_axis(a, top_pos, axis=1)
+    sel = jnp.where(valid, take(slab), jnp.int32(HW))
+    bbox = jnp.stack(
+        [
+            jnp.maximum(take(xminf) - (c - 1), 0.0),
+            jnp.maximum(take(yminf) - (c - 1), 0.0),
+            jnp.minimum(take(xmaxf) + 2 * (c - 1), W - 1.0),
+            jnp.minimum(take(ymaxf) + 2 * (c - 1), H - 1.0),
+        ],
+        axis=-1,
+    )
+    return sel, top_area, bbox, valid
+
+
 def bilinear_sample(image, xy):
     """Sample (H, W) image at (..., 2) float pixel coords (x, y)."""
     H, W = image.shape

@@ -1,11 +1,29 @@
-"""Pallas kernel equivalence tests (interpreter mode on CPU; the same kernel
-compiles for TPU backends — see detect/pallas_kernels.py dispatch)."""
+"""Pallas kernel equivalence tests.
+
+Interpreter-mode tests run everywhere (CPU suite); the @pytest.mark.tpu
+tests run the COMPILED kernels on a real chip (skipped elsewhere), so a
+Mosaic compilation or numerics regression is caught by the suite rather
+than only by bench-time asserts. Run them with
+CALISCOPE_TPU_TEST_PLATFORM=tpu pytest -m tpu.
+"""
 
 import numpy as np
 import pytest
 
+import jax
+
 from caliscope_tpu.detect.corners import chess_corner_response
+from caliscope_tpu.detect.kernels import (
+    adaptive_threshold,
+    component_candidates,
+    component_candidates_sorted,
+    connected_components,
+)
+from caliscope_tpu.detect.pallas_ccl import connected_components_pallas
 from caliscope_tpu.detect.pallas_kernels import chess_corner_response_pallas
+
+on_tpu = jax.default_backend() == "tpu"
+tpu_only = pytest.mark.skipif(not on_tpu, reason="requires a real TPU chip")
 
 
 class TestCornerResponseKernel:
@@ -27,3 +45,83 @@ class TestCornerResponseKernel:
         resp = np.asarray(chess_corner_response_pallas(img[None], interpret=True))[0]
         peak = np.unravel_index(np.argmax(resp), resp.shape)
         assert abs(peak[0] - 32) <= 1 and abs(peak[1] - 32) <= 1
+
+    @tpu_only
+    @pytest.mark.tpu
+    def test_compiled_matches_reference_on_tpu(self, rng):
+        imgs = rng.uniform(0, 255, size=(2, 720, 1280)).astype(np.float32)
+        ref = np.asarray(chess_corner_response(imgs))
+        ker = np.asarray(chess_corner_response_pallas(imgs))
+        pad = 6
+        np.testing.assert_allclose(
+            ker[:, pad:-pad, pad:-pad], ref[:, pad:-pad, pad:-pad], rtol=1e-3, atol=1e-2
+        )
+
+
+def _random_masks(rng):
+    cases = []
+    for shape, p in [((2, 64, 128), 0.4), ((1, 70, 130), 0.55), ((2, 48, 256), 0.3)]:
+        cases.append(rng.uniform(size=shape) < p)
+    return cases
+
+
+class TestPallasCCL:
+    def test_matches_xla_reference(self, rng):
+        for m in _random_masks(rng):
+            ref = np.asarray(connected_components(m, n_iters=12))
+            ker = np.asarray(connected_components_pallas(m, n_iters=12, interpret=True))
+            np.testing.assert_array_equal(ker, ref)
+
+    def test_background_and_label_convention(self, rng):
+        m = rng.uniform(size=(1, 40, 136)) < 0.35  # W not lane-aligned
+        lab = np.asarray(connected_components_pallas(m, n_iters=12, interpret=True))[0]
+        assert lab.shape == (40, 136)
+        assert np.all(lab[~m[0]] == 40 * 136)
+        fg = lab[m[0]]
+        assert fg.max() < 40 * 136  # labels are linear indices of the ORIGINAL frame
+
+    @tpu_only
+    @pytest.mark.tpu
+    def test_compiled_matches_reference_on_tpu(self, rng):
+        m = rng.uniform(size=(2, 720, 1280)) < 0.35
+        ref = np.asarray(connected_components(m, n_iters=4))
+        ker = np.asarray(connected_components_pallas(m, n_iters=4))
+        np.testing.assert_array_equal(ker, ref)
+
+
+class TestSortedCandidates:
+    def test_matches_scatter_formulation(self, rng):
+        # random rectangles: realistic component shapes with distinct areas
+        B, H, W = 2, 144, 256
+        img = np.full((B, H, W), 255.0, np.float32)
+        for b in range(B):
+            for _ in range(12):
+                x0 = int(rng.integers(0, W - 40))
+                y0 = int(rng.integers(0, H - 40))
+                w, h = (int(v) for v in rng.integers(6, 38, size=2))
+                img[b, y0 : y0 + h, x0 : x0 + w] = 0.0
+        binary = adaptive_threshold(img, radius=10)
+        labels = connected_components(binary, n_iters=12)
+        old = component_candidates(binary, labels, 16, 25.0)
+        new = component_candidates_sorted(binary, labels, 16, 25.0)
+        for b in range(B):
+            ov = np.asarray(old[3][b])
+            nv = np.asarray(new[3][b])
+            o = {
+                int(l): (float(a), tuple(np.asarray(bx)))
+                for l, a, bx, v in zip(
+                    np.asarray(old[0][b]), np.asarray(old[1][b]), np.asarray(old[2][b]), ov
+                )
+                if v
+            }
+            n = {
+                int(l): (float(a), tuple(np.asarray(bx)))
+                for l, a, bx, v in zip(
+                    np.asarray(new[0][b]), np.asarray(new[1][b]), np.asarray(new[2][b]), nv
+                )
+                if v
+            }
+            assert o.keys() == n.keys()
+            for l in o:
+                assert o[l][0] == n[l][0]
+                np.testing.assert_allclose(o[l][1], n[l][1])

@@ -1,199 +1,130 @@
-"""Stage-level profile of the batched ChArUco detection pipeline on the TPU.
+"""Stage-level profile of the fused detection device program on the real chip.
 
-Chained-timing methodology (see bench.py / MEMORY): CHAIN reps inside one
-jit with a data dependency between reps, so XLA cannot hoist the body or
-dead-code it. Prints a cumulative-stage table like PROFILE.md's LM table.
+Chained-timing methodology (PROFILE.md): each stage is timed by running M
+dependent reps inside one jit (data dependency between reps defeats hoisting)
+and fetching ONE reduced scalar — block_until_ready does not synchronize on
+the axon platform, and every device_get costs a flat ~27 ms round trip.
 
-Run: JAX_PLATFORMS=axon PYTHONPATH=/root/repo python tools/profile_detect.py
+Stages are CUMULATIVE prefixes of the marker graph so marginal cost per stage
+is the difference of adjacent rows (matching bench.py::profile_iteration's
+methodology for the BA solver).
+
+Usage: python tools/profile_detect.py [reps]
 """
 
 from __future__ import annotations
 
-import os
-import signal
 import sys
 import time
+from functools import partial
 
-sys.path.insert(0, "/root/repo")
+import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-CHAIN = int(os.environ.get("CHAIN", 8))
-TIMEOUT = int(os.environ.get("TIMEOUT", 600))
+from caliscope_tpu.detect.kernels import (
+    adaptive_threshold,
+    component_candidates,
+    connected_components,
+    extract_patches,
+    integral_image,
+    quad_corners_from_mask,
+    refine_quad_edges,
+    sample_marker_bits,
+)
+from caliscope_tpu.detect.corners import xcorner_graph
 
-
-def _alarm(sig, frm):
-    raise TimeoutError("profile section timed out")
-
-
-signal.signal(signal.SIGALRM, _alarm)
-
-
-def health_probe():
-    signal.alarm(90)
-    try:
-        x = jnp.ones((128, 128))
-        v = float((x @ x).sum())
-        assert v == 128.0 * 128 * 128
-    finally:
-        signal.alarm(0)
-    print(f"device ok: {jax.devices()[0].platform}", flush=True)
+N_BITS, K_MAX, PATCH, MIN_AREA, CCL_ITERS = 4, 64, 96, 49, 4
 
 
-def make_frames():
-    from bench import _detect_frames
+def stage_graph(imgs, upto: str, ccl_iters: int = CCL_ITERS):
+    """Prefix of the marker graph up to (and including) `upto`; returns one
+    f32 scalar-reducible array so every stage's outputs stay live."""
+    integral = integral_image(imgs)
+    binary = adaptive_threshold(imgs, radius=10, c=7.0, integral=integral) | adaptive_threshold(
+        imgs, radius=26, c=7.0, integral=integral
+    )
+    if upto == "threshold":
+        return binary.sum(dtype=jnp.float32)
+    labels = connected_components(binary, n_iters=ccl_iters)
+    if upto == "ccl":
+        return labels.sum(dtype=jnp.float32)
+    sel, areas, bbox, valid = component_candidates(binary, labels, K_MAX, float(MIN_AREA))
+    if upto == "candidates":
+        return areas.sum() + bbox.sum() + sel.sum(dtype=jnp.float32)
+    gray, mask, origin, scale = extract_patches(imgs, binary, labels, sel, bbox, PATCH)
+    if upto == "patches":
+        return gray.sum() + mask.sum(dtype=jnp.float32) + origin.sum()
+    quads0 = quad_corners_from_mask(mask)
+    quads = refine_quad_edges(gray, quads0)
+    cells = sample_marker_bits(gray, quads, N_BITS)
+    return quads.sum() + cells.sum()
 
-    ch, frames = _detect_frames()
-    return ch, frames
+
+@partial(jax.jit, static_argnames=("upto", "reps", "ccl_iters"))
+def chained(imgs, upto: str, reps: int, ccl_iters: int = CCL_ITERS):
+    def body(i, carry):
+        acc, im = carry
+        # data dependency: perturb input by the running scalar (epsilon-scale)
+        s = stage_graph(im + acc * 1e-20, upto, ccl_iters)
+        return acc + s, im
+
+    acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0.0), imgs))
+    return acc
 
 
-def chained(fn, images_f32, label, reps=CHAIN):
-    """Time fn(images) with a data-dependent chain inside one jit."""
+@partial(jax.jit, static_argnames=("reps", "use_pallas", "x_kmax"))
+def chained_xcorners(imgs, reps: int, use_pallas: bool, x_kmax: int = 256):
+    def body(i, carry):
+        acc, im = carry
+        xy, score, valid = xcorner_graph(im + acc * 1e-20, x_kmax, use_pallas)
+        return acc + xy.sum() + score.sum(), im
 
-    @jax.jit
-    def prog(imgs):
-        seed = jnp.float32(0.0)
-        out = jnp.float32(0.0)
-        for _ in range(reps):
-            r = fn(imgs * (1.0 + seed * 1e-30))
-            red = sum(jnp.sum(jnp.asarray(t, jnp.float32) * 1e-30) for t in jax.tree_util.tree_leaves(r))
-            out = out + red
-            seed = red
-        return out
+    acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0.0), imgs))
+    return acc
 
-    signal.alarm(TIMEOUT)
-    try:
-        v = float(prog(images_f32))  # compile + run
+
+def time_call(fn, *args):
+    fn(*args)  # compile + settle
+    best = np.inf
+    for _ in range(3):
         t0 = time.perf_counter()
-        v = float(prog(images_f32))
-        dt = (time.perf_counter() - t0) / reps
-    finally:
-        signal.alarm(0)
-    print(f"{label:55s} {dt * 1e3:8.1f} ms/stack  ({dt / images_f32.shape[0] * 1e3:6.2f} ms/frame)", flush=True)
-    return dt
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
-    health_probe()
-    ch, frames = make_frames()
-    B = frames.shape[0]
-    print(f"stack: {frames.shape} uint8, backend={jax.default_backend()}", flush=True)
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    from bench import _detect_frames  # shared synthetic frames
 
-    from caliscope_tpu.detect.aruco import marker_graph
-    from caliscope_tpu.detect.corners import xcorner_graph
-    from caliscope_tpu.detect.kernels import (
-        adaptive_threshold,
-        component_candidates,
-        connected_components,
-        extract_patches,
-        integral_image,
-        quad_corners_from_mask,
-        refine_quad_edges,
-        sample_marker_bits,
-    )
-
-    imgs = jnp.asarray(frames.astype(np.float32))
+    _ch, frames = _detect_frames()
+    B = 16
+    imgs = jnp.asarray(frames[:B].astype(np.float32))
     use_pallas = jax.default_backend() == "tpu"
+    print(f"platform={jax.default_backend()} B={B} reps={reps}")
 
-    n_bits, k_max, patch, min_area, ccl_iters, x_kmax = 4, 64, 96, 49, 12, 256
-    # match the tracker's actual call (ccl_iters=4 per charuco_tracker)
-    ccl_iters = 4
+    base = time_call(chained, imgs, "threshold", 0)  # round-trip + const
+    rows = []
+    for upto in ["threshold", "ccl", "candidates", "patches", "full"]:
+        t = time_call(chained, imgs, upto, reps)
+        ms = (t - base) / reps * 1000.0
+        rows.append((upto, ms))
+        prev = rows[-2][1] if len(rows) > 1 else 0.0
+        print(f"marker:{upto:12s} cum {ms:8.2f} ms/stack  marginal {ms - prev:8.2f}")
+    tx = time_call(chained_xcorners, imgs, reps, use_pallas)
+    msx = (tx - base) / reps * 1000.0
+    print(f"xcorners:full     cum {msx:8.2f} ms/stack")
+    total = rows[-1][1] + msx
+    print(f"TOTAL device ~ {total:.1f} ms / {B} frames -> {B / total * 1000:.1f} fps compute-bound (marker+xcorner)")
 
-    def s_integral(im):
-        return integral_image(im)
-
-    def s_thresh(im):
-        integral = integral_image(im)
-        return adaptive_threshold(im, 10, 7.0, integral) | adaptive_threshold(im, 26, 7.0, integral)
-
-    def s_ccl(im):
-        b = s_thresh(im)
-        return connected_components(b, n_iters=ccl_iters).astype(jnp.float32)
-
-    def s_cand(im):
-        b = s_thresh(im)
-        lab = connected_components(b, n_iters=ccl_iters)
-        sel, areas, bbox, valid = component_candidates(b, lab, k_max, float(min_area))
-        return areas.astype(jnp.float32), bbox.astype(jnp.float32)
-
-    def s_patches(im):
-        b = s_thresh(im)
-        lab = connected_components(b, n_iters=ccl_iters)
-        sel, areas, bbox, valid = component_candidates(b, lab, k_max, float(min_area))
-        gray, mask, origin, scale = extract_patches(im, b, lab, sel, bbox, patch)
-        return gray, mask.astype(jnp.float32)
-
-    def s_quads(im):
-        b = s_thresh(im)
-        lab = connected_components(b, n_iters=ccl_iters)
-        sel, areas, bbox, valid = component_candidates(b, lab, k_max, float(min_area))
-        gray, mask, origin, scale = extract_patches(im, b, lab, sel, bbox, patch)
-        q0 = quad_corners_from_mask(mask)
-        return q0
-
-    def s_refine(im):
-        b = s_thresh(im)
-        lab = connected_components(b, n_iters=ccl_iters)
-        sel, areas, bbox, valid = component_candidates(b, lab, k_max, float(min_area))
-        gray, mask, origin, scale = extract_patches(im, b, lab, sel, bbox, patch)
-        q0 = quad_corners_from_mask(mask)
-        q = refine_quad_edges(gray, q0)
-        return q
-
-    def s_marker_full(im):
-        return marker_graph(im, n_bits, k_max, patch, min_area, ccl_iters)
-
-    def s_xcorner(im):
-        return xcorner_graph(im, x_kmax, use_pallas)
-
-    def s_full(im):
-        a = marker_graph(im, n_bits, k_max, patch, min_area, ccl_iters)
-        b = xcorner_graph(im, x_kmax, use_pallas)
-        return (*a, *b)
-
-    chained(s_integral, imgs, "integral image")
-    chained(s_thresh, imgs, "+ threshold (2 radii)")
-    chained(s_ccl, imgs, "+ connected components (4 iters)")
-    chained(s_cand, imgs, "+ component candidates (k=64)")
-    chained(s_patches, imgs, "+ extract patches (96px, 64)")
-    chained(s_quads, imgs, "+ quad corners")
-    chained(s_refine, imgs, "+ refine quad edges")
-    chained(s_marker_full, imgs, "marker_graph full (+bits)")
-    chained(s_xcorner, imgs, "xcorner_graph alone")
-    chained(s_full, imgs, "FULL fused program")
-
-    # end-to-end tracker numbers for comparison
-    from caliscope_tpu.trackers.charuco_tracker import CharucoTracker
-
-    tr = CharucoTracker(ch)
-    signal.alarm(TIMEOUT)
-    try:
-        pk = tr.get_points_batch(frames)
-        t0 = time.perf_counter()
-        pk = tr.get_points_batch(frames)
-        dt = time.perf_counter() - t0
-    finally:
-        signal.alarm(0)
-    n = sum(len(p) for p in pk)
-    print(f"{'get_points_batch end-to-end':55s} {dt * 1e3:8.1f} ms/stack  ({dt / B * 1e3:6.2f} ms/frame)  [{n} pts, {B / dt:.1f} fps]", flush=True)
-
-    # host assembly cost alone
-    dets_list, cand_list = tr._run_stack(frames.astype(np.float32))
-    t0 = time.perf_counter()
-    for j in range(B):
-        tr._detect_face(frames[j].astype(np.float32), dets=dets_list[j], cand=cand_list[j])
-    dt_h = time.perf_counter() - t0
-    print(f"{'host assembly (detect_face x B)':55s} {dt_h * 1e3:8.1f} ms/stack  ({dt_h / B * 1e3:6.2f} ms/frame)", flush=True)
-
-    # _run_stack (device program + device_get + marker assembly)
-    t0 = time.perf_counter()
-    tr._run_stack(frames.astype(np.float32))
-    dt_r = time.perf_counter() - t0
-    print(f"{'_run_stack (program + readback + marker asm)':55s} {dt_r * 1e3:8.1f} ms/stack  ({dt_r / B * 1e3:6.2f} ms/frame)", flush=True)
+    # CCL iteration sensitivity
+    for it in [2, 4, 8]:
+        t = time_call(chained, imgs, "ccl", reps, it)
+        print(f"ccl_iters={it}: cum {(t - base) / reps * 1000.0:8.2f} ms/stack")
 
 
 if __name__ == "__main__":
