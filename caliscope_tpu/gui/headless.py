@@ -58,6 +58,19 @@ class Qt:
     SmoothTransformation = 1
     KeepAspectRatio = 1
 
+    class ItemDataRole:
+        UserRole = 256
+
+    class Orientation:
+        Horizontal = 1
+        Vertical = 2
+
+    class AlignmentFlag:
+        AlignLeft = 0x1
+        AlignRight = 0x2
+        AlignHCenter = 0x4
+        AlignCenter = 0x84
+
 
 class _BoundSignal:
     def __init__(self, owner: "QObject", name: str):
@@ -1200,3 +1213,147 @@ class QFileDialog(QWidget):
     @classmethod
     def getSaveFileName(cls, parent=None, caption: str = "", directory: str = "", filter: str = ""):
         return cls.next_path, filter
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: list widget, paint primitives, worker thread
+# (the back half of the reference GUI surface — camera list sidebar,
+# cameras tab, theme-styled rows, threaded live frame rendering)
+# ---------------------------------------------------------------------------
+
+
+class QColor:
+    def __init__(self, spec="#000000"):
+        self._spec = str(spec)
+
+    def name(self) -> str:
+        return self._spec
+
+    def __eq__(self, other):
+        return isinstance(other, QColor) and other._spec == self._spec
+
+    def __repr__(self):
+        return f"QColor({self._spec!r})"
+
+
+class QBrush:
+    def __init__(self, color: Optional[QColor] = None):
+        self.color_obj = color or QColor()
+
+    def color(self) -> QColor:
+        return self.color_obj
+
+
+class QListWidgetItem:
+    def __init__(self, text: str = ""):
+        self._text = text
+        self._data: dict[int, object] = {}
+        self._foreground: Optional[QBrush] = None
+
+    def setText(self, t: str):
+        self._text = str(t)
+
+    def text(self) -> str:
+        return self._text
+
+    def setData(self, role: int, value):
+        self._data[role] = value
+
+    def data(self, role: int):
+        return self._data.get(role)
+
+    def setForeground(self, brush: QBrush):
+        self._foreground = brush
+
+    def foreground(self) -> Optional[QBrush]:
+        return self._foreground
+
+
+class QListWidget(QWidget):
+    """Row-selection list; matches the PySide6 surface the camera list uses
+    (currentRowChanged signal, UserRole payloads, blockSignals)."""
+
+    currentRowChanged = Signal(int)
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self._items: list[QListWidgetItem] = []
+        self._current_row = -1
+        self._signals_blocked = False
+
+    def clear(self):
+        self._items.clear()
+        self._current_row = -1
+
+    def addItem(self, item: QListWidgetItem):
+        self._items.append(item)
+
+    def count(self) -> int:
+        return len(self._items)
+
+    def item(self, row: int) -> Optional[QListWidgetItem]:
+        return self._items[row] if 0 <= row < len(self._items) else None
+
+    def currentItem(self) -> Optional[QListWidgetItem]:
+        return self.item(self._current_row)
+
+    def currentRow(self) -> int:
+        return self._current_row
+
+    def blockSignals(self, yes: bool) -> bool:
+        was = self._signals_blocked
+        self._signals_blocked = bool(yes)
+        return was
+
+    def setCurrentRow(self, row: int):
+        if row == self._current_row:
+            return
+        self._current_row = row
+        if not self._signals_blocked:
+            self.currentRowChanged.emit(row)
+
+    def setMinimumWidth(self, w: int):
+        self._minimum_size = (w, self._minimum_size[1])
+
+
+class QThread(QObject):
+    """Worker thread with the Qt lifecycle surface (start / run / wait /
+    isRunning / finished). Runs a real Python thread; signals emitted from
+    run() are queued to the GUI thread by _BoundSignal's AutoConnection
+    logic, exactly like cross-thread Qt signals."""
+
+    started = Signal()
+    finished = Signal()
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self._thread: Optional[threading.Thread] = None
+
+    def run(self):  # subclass override point
+        pass
+
+    def _main(self):
+        try:
+            self.run()
+        finally:
+            self.finished.emit()
+
+    def start(self):
+        if self.isRunning():
+            return
+        self._thread = threading.Thread(target=self._main, daemon=True)
+        self._thread.start()
+        self.started.emit()
+
+    def isRunning(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def wait(self, ms: int = 30000) -> bool:
+        if self._thread is None:
+            return True
+        self._thread.join(ms / 1000.0)
+        return not self._thread.is_alive()
+
+    @staticmethod
+    def msleep(ms: int):
+        time.sleep(ms / 1000.0)

@@ -28,6 +28,7 @@ from caliscope_tpu.gui.qt import (
 )
 from caliscope_tpu.gui.tab_names import TabName
 from caliscope_tpu.gui.views import (
+    CamerasTabWidget,
     ExtractView,
     ExtrinsicCalibrationView,
     IntrinsicCalibrationView,
@@ -137,6 +138,7 @@ class MainWindow(QMainWindow):
         layout = QVBoxLayout(central)
         self.tabs = QTabWidget()
         self.project_tab = ProjectSetupView(self)
+        self.cameras_tab = CamerasTabWidget(self)
         self.intrinsic_tab = IntrinsicCalibrationView(self)
         self.extract_tab = ExtractView(self)
         self.extrinsic_tab = ExtrinsicCalibrationView(self)
@@ -146,6 +148,7 @@ class MainWindow(QMainWindow):
         self.explorer_tab = ExplorerView()
         for tab, name in [
             (self.project_tab, TabName.PROJECT),
+            (self.cameras_tab, TabName.CAMERAS),
             (self.intrinsic_tab, TabName.INTRINSICS),
             (self.extract_tab, TabName.EXTRACT),
             (self.extrinsic_tab, TabName.EXTRINSICS),
@@ -186,7 +189,7 @@ class MainWindow(QMainWindow):
             self.tab_index(TabName.RECONSTRUCT),
             status.extrinsic_calibration_step_status is StepStatus.COMPLETE,
         )
-        for view in (self.project_tab, self.intrinsic_tab, self.extract_tab, self.extrinsic_tab, self.reconstruct_tab):
+        for view in (self.project_tab, self.cameras_tab, self.intrinsic_tab, self.extract_tab, self.extrinsic_tab, self.reconstruct_tab):
             refresh = getattr(view, "refresh", None)
             if refresh:
                 refresh()
@@ -196,6 +199,9 @@ class MainWindow(QMainWindow):
         if self.watcher is not None:
             self.watcher.stop()
             self.watcher = None
+        cameras_tab = getattr(self, "cameras_tab", None)
+        if cameras_tab is not None:
+            cameras_tab.cleanup()
         log = getattr(self, "log", None)
         if log is not None:
             log.detach()

@@ -28,10 +28,11 @@ if not os.environ.get("CALISCOPE_TPU_FORCE_HEADLESS_QT"):
         from PySide6.QtCore import (  # noqa: F401
             QObject,
             Qt,
+            QThread,
             QTimer,
             Signal,
         )
-        from PySide6.QtGui import QAction, QImage, QPixmap  # noqa: F401
+        from PySide6.QtGui import QAction, QBrush, QColor, QImage, QPixmap  # noqa: F401
         from PySide6.QtWidgets import (  # noqa: F401
             QApplication,
             QCheckBox,
@@ -45,6 +46,8 @@ if not os.environ.get("CALISCOPE_TPU_FORCE_HEADLESS_QT"):
             QHBoxLayout,
             QLabel,
             QLineEdit,
+            QListWidget,
+            QListWidgetItem,
             QMainWindow,
             QMenu,
             QMessageBox,
@@ -70,7 +73,9 @@ if not USING_PYSIDE6:
     from caliscope_tpu.gui.headless import (  # noqa: F401
         QAction,
         QApplication,
+        QBrush,
         QCheckBox,
+        QColor,
         QComboBox,
         QDialog,
         QDoubleSpinBox,
@@ -82,6 +87,8 @@ if not USING_PYSIDE6:
         QImage,
         QLabel,
         QLineEdit,
+        QListWidget,
+        QListWidgetItem,
         QMainWindow,
         QMenu,
         QMessageBox,
@@ -98,6 +105,7 @@ if not USING_PYSIDE6:
         QTableWidget,
         QTableWidgetItem,
         QTabWidget,
+        QThread,
         QTimer,
         QVBoxLayout,
         QWidget,

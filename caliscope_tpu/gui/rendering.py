@@ -230,18 +230,39 @@ class Scene3DRenderer:
         return np.stack([u, v], axis=1), ok
 
     # ---- rasterization -------------------------------------------------------
-    def render(self, world_xyz: np.ndarray, camera_array=None, highlight_xyz=None) -> np.ndarray:
+    def render(self, world_xyz: np.ndarray, camera_array=None, highlight_xyz=None, wire_lines=None, wire_colors=None) -> np.ndarray:
+        """wire_lines: optional (L, 2, 3) world-space segment endpoints with
+        (L, 3) float RGB wire_colors in [0, 1] — the playback view model's
+        static wireframe topology applied to the current frame buffer."""
         img = np.full((self.height, self.width, 3), BG, np.uint8)
         self._draw_ground_grid(img)
         if camera_array is not None:
             for i, cam in enumerate(sorted(camera_array.cameras.values(), key=lambda c: c.cam_id)):
                 if cam.is_posed:
                     self._draw_frustum(img, cam, CAMERA_COLORS[i % len(CAMERA_COLORS)])
+        if wire_lines is not None and len(wire_lines):
+            wl = np.asarray(wire_lines, float)
+            finite = np.isfinite(wl).all(axis=(1, 2))
+            p0, ok0 = self.project(wl[finite, 0])
+            p1, ok1 = self.project(wl[finite, 1])
+            keep = ok0 & ok1
+            colors = (
+                (np.asarray(wire_colors, float)[finite][keep] * 255).astype(np.uint8)
+                if wire_colors is not None
+                else None
+            )
+            if colors is None:
+                draw_segments(img, p0[keep], p1[keep], np.array([160, 170, 190], np.uint8))
+            else:
+                for a, b, c in zip(p0[keep], p1[keep], colors):
+                    draw_segments(img, a[None], b[None], c)
         if world_xyz is not None and len(world_xyz):
-            px, ok = self.project(world_xyz)
+            finite = np.isfinite(np.asarray(world_xyz)).all(axis=1)
+            px, ok = self.project(np.asarray(world_xyz)[finite])
             draw_points(img, px[ok], np.array([210, 214, 220], np.uint8), radius=1)
         if highlight_xyz is not None and len(highlight_xyz):
-            px, ok = self.project(highlight_xyz)
+            finite = np.isfinite(np.asarray(highlight_xyz)).all(axis=1)
+            px, ok = self.project(np.asarray(highlight_xyz)[finite])
             draw_points(img, px[ok], np.array([240, 200, 80], np.uint8), radius=2)
         return img
 

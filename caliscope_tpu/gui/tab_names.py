@@ -11,6 +11,7 @@ from enum import Enum
 
 class TabName(str, Enum):
     PROJECT = "Project"
+    CAMERAS = "Cameras"
     INTRINSICS = "Intrinsics"
     EXTRACT = "Extract"
     EXTRINSICS = "Extrinsics"

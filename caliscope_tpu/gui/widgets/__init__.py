@@ -1,4 +1,5 @@
 from caliscope_tpu.gui.widgets.camera_card import CameraThumbnailCard
+from caliscope_tpu.gui.widgets.camera_list import CameraListWidget
 from caliscope_tpu.gui.widgets.config_panels import ArucoSetPanel, CharucoConfigPanel, ChessboardConfigPanel
 from caliscope_tpu.gui.widgets.coverage_heatmap import CoverageHeatmapWidget
 from caliscope_tpu.gui.widgets.lens_model import LensModelWidget
@@ -12,6 +13,7 @@ from caliscope_tpu.gui.widgets.welcome import WelcomeWidget
 
 __all__ = [
     "ArucoSetPanel",
+    "CameraListWidget",
     "CameraThumbnailCard",
     "CalibrationQualityTabs",
     "CalibrationStepStrip",

@@ -28,6 +28,7 @@ class Playback3DWidget(QWidget):
         super().__init__(parent)
         self.renderer = Scene3DRenderer(width, height)
         self._volume = None
+        self._view_model = None
         self._sync_indices: np.ndarray = np.zeros(0, int)
 
         layout = QVBoxLayout(self)
@@ -55,7 +56,25 @@ class Playback3DWidget(QWidget):
         layout.addWidget(self.slider)
 
     # ---- data ---------------------------------------------------------------
+    def set_view_model(self, vm) -> None:
+        """Drive playback from a PlaybackViewModel (canonical fixed-size
+        buffers + wireframe topology; reference
+        gui/view_models/playback_view_model.py). Preferred over set_volume
+        for reconstructed recordings."""
+        self._view_model = vm
+        self._volume = None
+        self._sync_indices = vm.valid_sync_indices
+        self.slider.setRange(0, max(len(self._sync_indices) - 1, 0))
+        centers = vm.get_camera_positions()
+        first = vm.get_frame_geometry(self.current_sync_index()) if vm.has_points else None
+        pts = first.points[np.isfinite(first.points).all(axis=1)] if first is not None else np.zeros((0, 3))
+        anchor = pts if len(pts) else (centers if centers is not None else np.zeros((1, 3)))
+        self.renderer.target = anchor.mean(axis=0)
+        self.renderer.distance = float(np.linalg.norm(anchor.std(axis=0))) * 4 + 1.0
+        self.refresh()
+
     def set_volume(self, volume) -> None:
+        self._view_model = None
         self._volume = volume
         wp = volume.world_points
         syncs = np.unique(wp.sync_index[wp.sync_index != STATIC_SYNC_INDEX]).astype(int)
@@ -86,6 +105,21 @@ class Playback3DWidget(QWidget):
 
     # ---- render ---------------------------------------------------------------
     def refresh(self) -> None:
+        if self._view_model is not None:
+            vm = self._view_model
+            sync = self.current_sync_index()
+            geo = vm.get_frame_geometry(sync) if sync is not None else None
+            lines, colors = vm.get_static_wireframe_data()
+            wire = geo.points[lines] if geo is not None and len(lines) else None
+            img = self.renderer.render(
+                geo.points if geo is not None else None,
+                vm.camera_array,
+                wire_lines=wire,
+                wire_colors=colors if wire is not None else None,
+            )
+            self.canvas.setPixmap(to_pixmap(img))
+            self.frame_label.setText(f"sync {sync}" if sync is not None else "")
+            return
         if self._volume is None:
             return
         wp = self._volume.world_points

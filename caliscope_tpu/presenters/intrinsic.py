@@ -31,6 +31,59 @@ class IntrinsicCalibrationState(Enum):
     FAILED = auto()
 
 
+class _DisplayTeeTracker(Tracker):
+    """Wraps a tracker and tees every (frame, detections) pair into a
+    display queue as gui.frame_render.TrackedFrame items. Accumulates all
+    detections so the coverage overlay grows as extraction proceeds. Pure
+    pass-through for detection semantics."""
+
+    def __init__(self, inner: Tracker, display_queue):
+        self.inner = inner
+        self.queue = display_queue
+        self._accumulated: list = []
+
+    @property
+    def name(self) -> str:
+        return self.inner.name
+
+    @property
+    def pixel_format(self):
+        return self.inner.pixel_format
+
+    def _detect(self, frame, cam_id: int = 0, rotation_count: int = 0):
+        pkt = self.inner._detect(frame, cam_id, rotation_count)
+        self._offer(frame, pkt)
+        return pkt
+
+    def get_points_batch(self, frames, cam_id: int = 0, rotation_count: int = 0):
+        pkts = self.inner.get_points_batch(frames, cam_id, rotation_count)
+        for frame, pkt in zip(frames, pkts):
+            self._offer(frame, pkt)
+        return pkts
+
+    def _offer(self, frame, pkt) -> None:
+        import numpy as np
+
+        from caliscope_tpu.gui.frame_render import TrackedFrame, offer_frame
+
+        current = np.asarray(pkt.img_loc).reshape(-1, 2) if len(pkt) else np.zeros((0, 2))
+        if len(current):
+            self._accumulated.append(current)
+        accumulated = (
+            np.concatenate(self._accumulated) if self._accumulated else np.zeros((0, 2))
+        )
+        offer_frame(self.queue, TrackedFrame(np.asarray(frame), current, accumulated))
+
+    def get_point_name(self, keypoint_id: int) -> str:
+        return self.inner.get_point_name(keypoint_id)
+
+    def get_connected_points(self):
+        return self.inner.get_connected_points()
+
+    def cleanup(self) -> None:
+        self.inner.cleanup()
+
+
 class IntrinsicCalibrationPresenter:
     def __init__(
         self,
@@ -39,11 +92,18 @@ class IntrinsicCalibrationPresenter:
         tracker: Tracker,
         task_manager: Optional[TaskManager] = None,
         frame_step: int = 5,
+        display_queue=None,
     ):
+        """display_queue: optional gui.frame_render display queue; when set,
+        every tracked frame is teed into it during extraction (dropping
+        under pressure) so a FrameRenderThread can show live progress —
+        the reference feeds its intrinsic widget the same way
+        (gui/views/intrinsic_calibration_widget.py:341)."""
         self.camera = camera
         self.video_path = Path(video_path) if video_path else None
         self.tracker = tracker
         self.frame_step = frame_step
+        self.display_queue = display_queue
         self._tasks = task_manager or TaskManager(max_workers=1)
         self._busy: Optional[str] = None
         self._error: Optional[str] = None
@@ -84,10 +144,17 @@ class IntrinsicCalibrationPresenter:
         def work():
             from caliscope_tpu.api import calibrate_intrinsics, extract_image_points
 
+            tracker = self.tracker
+            if self.display_queue is not None:
+                tracker = _DisplayTeeTracker(tracker, self.display_queue)
             points = extract_image_points(
-                self.video_path, self.camera.cam_id, self.tracker,
+                self.video_path, self.camera.cam_id, tracker,
                 frame_step=self.frame_step, progress=None,
             )
+            if self.display_queue is not None:
+                from caliscope_tpu.gui.frame_render import offer_frame
+
+                offer_frame(self.display_queue, None)  # stop sentinel
             self._points = points
             self._busy = "calibrate"
             self.state_changed.emit(self.state)

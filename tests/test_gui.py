@@ -302,7 +302,7 @@ class TestMainWindow:
         QFileDialog.next_path = str(workspace.root)
         win.welcome.open_project_requested.emit()
         assert win.ws is not None and win.ws.root == workspace.root
-        assert win.tabs.count() == 6
+        assert win.tabs.count() == 7  # Project, Cameras, Intrinsics, Extract, Extrinsics, Reconstruct, Explorer
         # recents persisted
         assert win.recent_projects() == [str(workspace.root)]
         win.close()
