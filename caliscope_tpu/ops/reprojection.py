@@ -44,36 +44,41 @@ def effective_distortions(cam9, dist0):
     return d
 
 
-def project_with_block(X, cam9, K0, dist0, fisheye_flag):
+def project_with_block(X, cam9, K0, dist0, fisheye_flag, any_fisheye: bool = True):
     """Project world point(s) X through the 9-parameter camera block.
 
     fisheye_flag is a traced bool array — both camera models are evaluated
-    (cheap elementwise work) and selected, so mixed rigs batch in one call.
+    and selected, so mixed rigs batch in one call. `any_fisheye` is a
+    STATIC hint: all-Brown rigs (the common case) pass False and skip the
+    fisheye model entirely — under jacfwd the equidistant model's atan and
+    its 12 tangents are a measurable share of the block-building cost.
     """
     rvec = cam9[..., 0:3]
     tvec = cam9[..., 3:6]
     K = camera_matrices_from_block(cam9, K0)
     dist = effective_distortions(cam9, dist0)
     uv_brown = project_points(X, rvec, tvec, K, dist, False)
+    if not any_fisheye:
+        return uv_brown
     uv_fish = project_points(X, rvec, tvec, K, dist[..., :4], True)
     return jnp.where(fisheye_flag[..., None], uv_fish, uv_brown)
 
 
-def _obs_residual(cam9, X, uv, K0, dist0, fisheye_flag, inv_fx):
+def _obs_residual(cam9, X, uv, K0, dist0, fisheye_flag, inv_fx, any_fisheye: bool = True):
     """Single-observation normalized residual (2,)."""
-    uv_hat = project_with_block(X, cam9, K0, dist0, fisheye_flag)
+    uv_hat = project_with_block(X, cam9, K0, dist0, fisheye_flag, any_fisheye)
     return (uv_hat - uv) * inv_fx
 
 
-def observation_residuals(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, dist0_all, fisheye_all, inv_fx_all):
+def observation_residuals(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye: bool = True):
     """Residuals for all observations: (N, 2) in 1/fx_init-normalized units."""
     cam9 = cam9_all[cam_idx]
     X = X_all[pt_idx]
-    uv_hat = project_with_block(X, cam9, K0_all[cam_idx], dist0_all[cam_idx], fisheye_all[cam_idx])
+    uv_hat = project_with_block(X, cam9, K0_all[cam_idx], dist0_all[cam_idx], fisheye_all[cam_idx], any_fisheye)
     return (uv_hat - uv) * inv_fx_all[cam_idx][:, None]
 
 
-def observation_jacobian_blocks(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, dist0_all, fisheye_all, inv_fx_all):
+def observation_jacobian_blocks(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye: bool = True):
     """Per-observation Jacobian blocks of the normalized residual.
 
     Returns (r (N,2), Jc (N,2,9), Jp (N,2,3)) — forward-mode through the
@@ -84,7 +89,7 @@ def observation_jacobian_blocks(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, di
     """
 
     def one(cam9, X, uv_i, K0, dist0, fe, ifx):
-        f = lambda c, x: _obs_residual(c, x, uv_i, K0, dist0, fe, ifx)
+        f = lambda c, x: _obs_residual(c, x, uv_i, K0, dist0, fe, ifx, any_fisheye)
         r = f(cam9, X)
         Jc = jax.jacfwd(f, argnums=0)(cam9, X)
         Jp = jax.jacfwd(f, argnums=1)(cam9, X)
@@ -101,45 +106,51 @@ def observation_jacobian_blocks(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, di
     )
 
 
-def dense_observation_residuals(cam9_all, X_all, uv, K0_all, dist0_all, fisheye_all, inv_fx_all):
-    """Residuals in the DENSE (P, C) observation layout: every world point
-    crossed with every camera, padded slots masked by the caller.
+def dense_observation_residuals(cam9_all, X_all, uv_t, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye: bool = True):
+    """Residuals in the DENSE observation layout, POINT-MINOR.
 
     The observation structure of bundle adjustment is at most dense in
-    (points x cameras) — a camera sees a world point at most once — so laying
-    the observation axis out as a (P, C) grid makes BOTH indices array axes:
-    no cam_idx/pt_idx gathers on the way in, and every normal-equation
-    reduction downstream becomes a dense einsum instead of a segment
-    scatter. Returns (P, C, 2)."""
+    (points x cameras) — a camera sees a world point at most once — so
+    laying the observation axis out as a dense grid makes BOTH indices
+    array axes: no cam_idx/pt_idx gathers on the way in, and every
+    normal-equation reduction downstream becomes a dense einsum instead of
+    a segment scatter.
+
+    Layout (round 4): the LONG point axis is MINORMOST. TPU memory tiles
+    are (8, 128) over the two minor dims; the earlier (P, C, 2) layout put
+    the size-2 residual axis in lanes, so ~98% of every tile the program
+    moved was padding (measured ~11 GB/s effective HBM bandwidth, 1.3% of
+    peak, on the full LM iteration). With P in lanes every per-observation
+    tensor tiles at full occupancy. uv_t: (C, 2, P); returns (C, 2, P)."""
 
     def per_cam(cam9, uv_c, K0, dist0, fe, ifx):
-        uv_hat = project_with_block(X_all, cam9, K0, dist0, fe)
-        return (uv_hat - uv_c) * ifx
+        uv_hat = project_with_block(X_all, cam9, K0, dist0, fe, any_fisheye)  # (P, 2)
+        return uv_hat.T * ifx - uv_c * ifx
 
-    # vmap over the camera axis; X broadcasts. uv is (P, C, 2) -> pass (C, P, 2).
-    r = jax.vmap(per_cam)(
-        cam9_all, jnp.swapaxes(uv, 0, 1), K0_all, dist0_all, fisheye_all, inv_fx_all
-    )  # (C, P, 2)
-    return jnp.swapaxes(r, 0, 1)
+    return jax.vmap(per_cam)(cam9_all, uv_t, K0_all, dist0_all, fisheye_all, inv_fx_all)
 
 
-def dense_observation_jacobian_blocks(cam9_all, X_all, uv, K0_all, dist0_all, fisheye_all, inv_fx_all):
-    """Jacobian blocks in the dense (P, C) layout.
+def dense_observation_jacobian_blocks(cam9_all, X_all, uv_t, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye: bool = True):
+    """Jacobian blocks in the dense layout, POINT-MINOR (see
+    dense_observation_residuals for the layout rationale).
 
-    Returns (r (P,C,2), Jc (P,C,2,9), Jp (P,C,2,3)) — same jacfwd-through-
-    one-projection construction as observation_jacobian_blocks, but the
-    (point, camera) pairing is positional: zero index arrays anywhere."""
+    uv_t: (C, 2, P). Returns (r (C,2,P), Jc (C,2,9,P), Jp (C,2,3,P)) —
+    same jacfwd-through-one-projection construction as
+    observation_jacobian_blocks, but the (point, camera) pairing is
+    positional (zero index arrays) and vmap's out_axes places the point
+    batch axis LAST, so the jacobians land lane-major without any
+    transpose."""
 
     def one(cam9, X, uv_i, K0, dist0, fe, ifx):
-        f = lambda c, x: _obs_residual(c, x, uv_i, K0, dist0, fe, ifx)
+        f = lambda c, x: _obs_residual(c, x, uv_i, K0, dist0, fe, ifx, any_fisheye)
         r = f(cam9, X)
         Jc = jax.jacfwd(f, argnums=0)(cam9, X)
         Jp = jax.jacfwd(f, argnums=1)(cam9, X)
         return r, Jc, Jp
 
-    inner = jax.vmap(one, in_axes=(0, None, 0, 0, 0, 0, 0))  # over cameras
-    outer = jax.vmap(inner, in_axes=(None, 0, 0, None, None, None, None))  # over points
-    return outer(cam9_all, X_all, uv, K0_all, dist0_all, fisheye_all, inv_fx_all)
+    inner = jax.vmap(one, in_axes=(None, 0, 1, None, None, None, None), out_axes=-1)  # over points
+    outer = jax.vmap(inner, in_axes=(0, None, 0, 0, 0, 0, 0))  # over cameras
+    return outer(cam9_all, X_all, uv_t, K0_all, dist0_all, fisheye_all, inv_fx_all)
 
 
 def reprojection_errors(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, dist0_all, fisheye_all):

@@ -37,30 +37,35 @@ def _pad_len(n: int, k: int) -> int:
 
 
 def shard_dense_problem(problem: BADenseProblem, mesh: Mesh, axis_name: str = OBS_AXIS) -> BADenseProblem:
-    """Shard the dense (P, C) layout's POINT axis over the mesh; cameras and
+    """Shard the dense layout's POINT axis over the mesh; cameras and
     constraints replicate. The point axis plays the sharded-observation role:
     residual/Jacobian slots partition by point, the camera-side reductions
     all-reduce (C is tiny), and point-side quantities stay sharded end to
     end (see bundle._pshard). Pads P to a mesh multiple; padded points have
     all slots masked and are pinned by the solver's zero-diagonal prior —
-    the CALLER must pad its X0 to match (lm_solve does)."""
+    the CALLER must pad its X0 to match (lm_solve does).
+
+    The dense storage is POINT-MINOR (uv (C, 2, P), mask (C, P)) so the
+    sharded axis is the LAST one — sharding the lane dimension keeps every
+    per-shard tile fully occupied too."""
     n_dev = mesh.shape[axis_name]
-    n_pts = problem.uv.shape[0]
+    n_pts = problem.n_points
     pad = _pad_len(max(n_pts, n_dev), n_dev) - n_pts
 
     def pad_p(a, fill=0):
         a = np.asarray(a)
         if pad == 0:
             return a
-        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
         return np.pad(a, widths, constant_values=fill)
 
-    p_sharding = NamedSharding(mesh, P(axis_name))
+    uv_sharding = NamedSharding(mesh, P(None, None, axis_name))
+    mask_sharding = NamedSharding(mesh, P(None, axis_name))
     rep = NamedSharding(mesh, P())
     return replace(
         problem,
-        uv=jax.device_put(pad_p(problem.uv), p_sharding),
-        obs_mask=jax.device_put(pad_p(problem.obs_mask, fill=False), p_sharding),
+        uv=jax.device_put(pad_p(problem.uv), uv_sharding),
+        obs_mask=jax.device_put(pad_p(problem.obs_mask, fill=False), mask_sharding),
         **{
             f: jax.device_put(np.asarray(getattr(problem, f)), rep)
             for f in (

@@ -116,9 +116,14 @@ class BAProblem:
     con_pb_w: jnp.ndarray  # (Q,4)
     con_target: jnp.ndarray  # (Q,)
     con_weight: jnp.ndarray  # (Q,)
+    # STATIC (pytree-meta) hint: False lets the projection skip the fisheye
+    # model entirely for all-Brown rigs (the common case) — under jacfwd the
+    # equidistant atan and its 12 tangents are a measurable blocks cost
+    any_fisheye: bool = True
 
-    # Registered as a JAX pytree (all fields are arrays) so a BAProblem can be
-    # passed straight into jitted solvers; shapes (N, C, P, Q) are static.
+    # Registered as a JAX pytree (array fields are leaves; any_fisheye is
+    # static metadata) so a BAProblem can be passed straight into jitted
+    # solvers; shapes (N, C, P, Q) are static.
 
     @property
     def n_cameras(self) -> int:
@@ -140,7 +145,7 @@ jax.tree_util.register_dataclass(
         "inv_fx", "param_free", "con_pa_idx", "con_pa_w", "con_pb_idx",
         "con_pb_w", "con_target", "con_weight",
     ],
-    meta_fields=[],
+    meta_fields=["any_fisheye"],
 )
 
 
@@ -163,8 +168,8 @@ class BADenseProblem:
     make_problem's sparse row layout remains the general path.
     """
 
-    uv: jnp.ndarray  # (P, C, 2) pixels
-    obs_mask: jnp.ndarray  # (P, C) bool
+    uv: jnp.ndarray  # (C, 2, P) pixels — POINT-MINOR (P rides the TPU lane dim)
+    obs_mask: jnp.ndarray  # (C, P) bool
     K0: jnp.ndarray  # (C,3,3)
     dist0: jnp.ndarray  # (C,5)
     fisheye: jnp.ndarray  # (C,)
@@ -176,15 +181,20 @@ class BADenseProblem:
     con_pb_w: jnp.ndarray
     con_target: jnp.ndarray
     con_weight: jnp.ndarray
+    any_fisheye: bool = True  # static; see BAProblem
 
     @property
     def n_cameras(self) -> int:
         return self.K0.shape[0]
 
     @property
+    def n_points(self) -> int:
+        return self.uv.shape[2]
+
+    @property
     def n_obs(self) -> int:
         # static shape proxy (the mask's true count is data-dependent)
-        return self.uv.shape[0] * self.uv.shape[1]
+        return self.uv.shape[0] * self.uv.shape[2]
 
     @property
     def n_constraints(self) -> int:
@@ -198,7 +208,7 @@ jax.tree_util.register_dataclass(
         "con_pa_idx", "con_pa_w", "con_pb_idx", "con_pb_w", "con_target",
         "con_weight",
     ],
-    meta_fields=[],
+    meta_fields=["any_fisheye"],
 )
 
 
@@ -268,6 +278,7 @@ def make_problem(
         K0=np.asarray(K0, np_dtype),
         dist0=np.asarray(dist0, np_dtype),
         fisheye=np.asarray(fisheye, bool),
+        any_fisheye=bool(np.any(np.asarray(fisheye, bool))),
         inv_fx=np.asarray(1.0 / fx, np_dtype),
         param_free=np.asarray(param_free, bool),
         con_pa_idx=np.asarray(pa_idx, np.int32),
@@ -319,6 +330,11 @@ def make_dense_problem(
     grid_mask = np.zeros((n_points, C), bool)
     grid_uv[pt_k, cam_k] = uv_k
     grid_mask[pt_k, cam_k] = True
+    # canonical DEVICE layout is POINT-MINOR: uv (C, 2, P), mask (C, P) —
+    # the long point axis rides the 128-lane dim of every TPU tile (see
+    # ops/reprojection.py::dense_observation_residuals)
+    grid_uv = np.ascontiguousarray(grid_uv.transpose(1, 2, 0))
+    grid_mask = np.ascontiguousarray(grid_mask.T)
 
     param_free = np.zeros((C, N_CAM_PARAMS), bool)
     param_free[:, :6] = True
@@ -342,6 +358,7 @@ def make_dense_problem(
         K0=np.asarray(K0, np_dtype),
         dist0=np.asarray(dist0, np_dtype),
         fisheye=np.asarray(fisheye, bool),
+        any_fisheye=bool(np.any(np.asarray(fisheye, bool))),
         inv_fx=np.asarray(1.0 / fx, np_dtype),
         param_free=np.asarray(param_free, bool),
         con_pa_idx=np.asarray(pa_idx, np.int32),
@@ -405,16 +422,21 @@ def _constraint_blocks(problem, X, r_dtype):
 
 
 def _masked_blocks_dense(problem: BADenseProblem, cam9, X, loss: str, f_scale: float):
-    """Dense-layout residuals/weights/blocks: (P, C, ...) tensors, no
-    index arrays anywhere."""
+    """Dense-layout residuals/weights/blocks, POINT-MINOR: r (C,2,P),
+    Jc (C,2,9,P), Jp (C,2,3,P) — no index arrays anywhere, and the long
+    point axis rides the 128-lane dimension of every TPU tile (see
+    ops/reprojection.py::dense_observation_residuals for the layout
+    rationale; uv/obs_mask are STORED point-minor, so no transpose ever
+    runs on device)."""
     r, Jc, Jp = dense_observation_jacobian_blocks(
-        cam9, X, problem.uv, problem.K0, problem.dist0, problem.fisheye, problem.inv_fx
+        cam9, X, problem.uv, problem.K0, problem.dist0, problem.fisheye, problem.inv_fx,
+        problem.any_fisheye,
     )
-    m = problem.obs_mask[..., None]  # (P,C,1)
+    m = problem.obs_mask[:, None, :]  # (C,1,P)
     r = jnp.where(m, r, 0.0)
     free = problem.param_free.astype(r.dtype)  # (C,9)
-    Jc = jnp.where(m[..., None], Jc, 0.0) * free[None, :, None, :]
-    Jp = jnp.where(m[..., None], Jp, 0.0)
+    Jc = jnp.where(m[:, :, None, :], Jc, 0.0) * free[:, None, :, None]
+    Jp = jnp.where(m[:, :, None, :], Jp, 0.0)
     w_obs, cost_obs = robust_weights_and_cost((r**2).reshape(-1), loss, f_scale)
     w_obs = w_obs.reshape(r.shape)
     rq, qidx, Jq, cost_con = _constraint_blocks(problem, X, r.dtype)
@@ -428,6 +450,7 @@ def _masked_blocks(problem, cam9, X, loss: str, f_scale: float):
     r, Jc, Jp = observation_jacobian_blocks(
         cam9, X, problem.cam_idx, problem.pt_idx, problem.uv,
         problem.K0, problem.dist0, problem.fisheye, problem.inv_fx,
+        problem.any_fisheye,
     )
     # where-select (not multiply): a padded row may project degenerately and
     # produce NaN/inf, and 0 * NaN would poison the whole reduction
@@ -446,9 +469,10 @@ def _masked_blocks(problem, cam9, X, loss: str, f_scale: float):
 def _cost_only(problem, cam9, X, loss: str, f_scale: float):
     if isinstance(problem, BADenseProblem):
         r = dense_observation_residuals(
-            cam9, X, problem.uv, problem.K0, problem.dist0, problem.fisheye, problem.inv_fx
-        )
-        r = jnp.where(problem.obs_mask[..., None], r, 0.0)
+            cam9, X, problem.uv, problem.K0, problem.dist0,
+            problem.fisheye, problem.inv_fx, problem.any_fisheye,
+        )  # (C,2,P)
+        r = jnp.where(problem.obs_mask[:, None, :], r, 0.0)
         _, cost_obs = robust_weights_and_cost((r**2).reshape(-1), loss, f_scale)
         if problem.n_constraints:
             rq = constraint_residuals(
@@ -460,6 +484,7 @@ def _cost_only(problem, cam9, X, loss: str, f_scale: float):
     r = observation_residuals(
         cam9, X, problem.cam_idx, problem.pt_idx, problem.uv,
         problem.K0, problem.dist0, problem.fisheye, problem.inv_fx,
+        problem.any_fisheye,
     )
     r = jnp.where(problem.obs_mask[:, None], r, 0.0)
     _, cost_obs = robust_weights_and_cost((r**2).ravel(), loss, f_scale)
@@ -488,17 +513,20 @@ def _constraint_grad_diag(problem, qidx, Jq, rq, g_p, d_p):
 
 def _gradient_and_diag_dense(problem, w, r, Jc, Jp, rq, qidx, Jq, mesh=None):
     """Dense-layout g = J^T W r and diag(J^T W J): the camera and point
-    reductions are plain einsums over the (P, C) grid — the slot position IS
+    reductions are plain einsums over the dense grid — the slot position IS
     the index, so there is no one-hot expansion and no segment scatter.
-    Two-operand staging throughout (multi-operand einsum contraction order
-    is XLA's to botch)."""
-    wr = w * r  # (P,C,2)
-    U = Jc * w[..., None]  # (P,C,2,9)
-    g_c = jnp.einsum("pcri,pcr->ci", Jc, wr)
-    d_c = jnp.einsum("pcri,pcrj->cij", U, Jc)
-    Up = Jp * w[..., None]  # (P,C,2,3)
-    g_p = _pshard(jnp.einsum("pcri,pcr->pi", Jp, wr), mesh, "obs")
-    d_p = _pshard(jnp.einsum("pcri,pcrj->pij", Up, Jp), mesh, "obs")
+    Inputs are POINT-MINOR (r (C,2,P), Jc (C,2,9,P), Jp (C,2,3,P)) so every
+    contraction reduces over (or is elementwise along) the lane axis; the
+    small per-point outputs are transposed back to the solver-wide (P,3) /
+    (P,3,3) contract (sub-MB arrays). Two-operand staging throughout
+    (multi-operand einsum contraction order is XLA's to botch)."""
+    wr = w * r  # (C,2,P)
+    U = Jc * w[:, :, None, :]  # (C,2,9,P)
+    g_c = jnp.einsum("crip,crp->ci", Jc, wr)
+    d_c = jnp.einsum("crip,crjp->cij", U, Jc)
+    Up = Jp * w[:, :, None, :]  # (C,2,3,P)
+    g_p = _pshard(jnp.einsum("crip,crp->pi", Jp, wr), mesh, "obs")  # (P,3)
+    d_p = _pshard(jnp.einsum("crip,crjp->pij", Up, Jp), mesh, "obs")  # (P,3,3)
     g_p, d_p = _constraint_grad_diag(problem, qidx, Jq, rq, g_p, d_p)
     return g_c, g_p, d_c, d_p
 
@@ -545,10 +573,11 @@ def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh=None)
 def _hessian_matvec(problem, w, Jc, Jp, qidx, Jq, vc, vp):
     """(H v) for H = J^T W J, matrix-free via the per-row blocks."""
     if isinstance(problem, BADenseProblem):
-        Jv = jnp.einsum("pcri,ci->pcr", Jc, vc) + jnp.einsum("pcri,pi->pcr", Jp, vp)
+        # point-minor blocks: Jc (C,2,9,P), Jp (C,2,3,P)
+        Jv = jnp.einsum("crip,ci->crp", Jc, vc) + jnp.einsum("crip,pi->crp", Jp, vp)
         wJv = w * Jv
-        out_c = jnp.einsum("pcri,pcr->ci", Jc, wJv)
-        out_p = jnp.einsum("pcri,pcr->pi", Jp, wJv)
+        out_c = jnp.einsum("crip,crp->ci", Jc, wJv)
+        out_p = jnp.einsum("crip,crp->pi", Jp, wJv)
         if problem.n_constraints:
             zq = jnp.einsum("qkj,qkj->q", Jq, vp[qidx])
             out_p = out_p.at[qidx.reshape(-1)].add((Jq * zq[:, None, None]).reshape(-1, 3))
@@ -580,14 +609,15 @@ def _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam):
     """
     C, P = problem.n_cameras, g_p.shape[0]
     if isinstance(problem, BADenseProblem):
-        # flatten the (P, C) grid to sparse-style rows with iota indices;
-        # the scatter assembly below is layout-agnostic from here on
-        Pg, Cg = problem.obs_mask.shape
+        # flatten the point-minor (C,2,*,P) blocks to sparse-style rows with
+        # iota indices; the scatter assembly below is layout-agnostic from
+        # here on (small problems only — transposes are irrelevant here)
+        Cg, Pg = problem.obs_mask.shape
         cam_idx_rows = jnp.tile(jnp.arange(Cg, dtype=jnp.int32), Pg)
         pt_idx_rows = jnp.repeat(jnp.arange(Pg, dtype=jnp.int32), Cg)
-        w = w.reshape(Pg * Cg, 2)
-        Jc = Jc.reshape(Pg * Cg, 2, N_CAM_PARAMS)
-        Jp = Jp.reshape(Pg * Cg, 2, 3)
+        w = w.transpose(2, 0, 1).reshape(Pg * Cg, 2)
+        Jc = Jc.transpose(3, 0, 1, 2).reshape(Pg * Cg, 2, N_CAM_PARAMS)
+        Jp = Jp.transpose(3, 0, 1, 2).reshape(Pg * Cg, 2, 3)
     else:
         cam_idx_rows = problem.cam_idx
         pt_idx_rows = problem.pt_idx
@@ -684,9 +714,19 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
     Hpp_inv = _pshard(_inv3x3(Hpp), mesh, "obs")
 
     if isinstance(problem, BADenseProblem):
-        # the coupling tensor IS the per-slot product — no segment sum at all
-        U = Jc * w[..., None]  # (P,C,2,9)
-        G = _pshard(jnp.einsum("pcri,pcrk->cpik", U, Jp), mesh, None, "obs")
+        # the coupling tensor IS the per-slot product — no segment sum at
+        # all. Point-minor blocks (C,2,9,P)/(C,2,3,P) -> G (C,9,3,P): the
+        # contraction is over the tiny residual axis, elementwise along
+        # lanes, and the downstream Y/S einsums keep P minormost.
+        U = Jc * w[:, :, None, :]  # (C,2,9,P)
+        G = _pshard(jnp.einsum("crip,crkp->cikp", U, Jp), mesh, None, None, None, "obs")
+        Hpp_inv_t = Hpp_inv.transpose(1, 2, 0)  # (3,3,P)
+        Y = jnp.einsum("cijp,jkp->cikp", G, Hpp_inv_t)  # (C,9,3,P)
+        S = -jnp.einsum("cikp,djkp->cidj", Y, G)  # (C,9,C,9)
+        S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(A_cc)
+        S = S.reshape(C * N_CAM_PARAMS, C * N_CAM_PARAMS)
+        S_cho = jax.scipy.linalg.cho_factor(S)
+        return S_cho, G, Y, Hpp_inv, free_c
     else:
         W_blocks = jnp.einsum("nij,ni,nik->njk", Jc, w, Jp)  # (N,9,3)
         # flat segment_sum instead of .at[].add: XLA's sorted-segment lowering
@@ -707,13 +747,22 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
     return S_cho, G, Y, Hpp_inv, free_c
 
 
-def _schur_apply(S_cho, G, Y, Hpp_inv, free_c, bc, bp):
-    """Solve the damped reprojection normal system given Schur factors."""
+def _schur_apply(S_cho, G, Y, Hpp_inv, free_c, bc, bp, pminor: bool = False):
+    """Solve the damped reprojection normal system given Schur factors.
+
+    pminor: G/Y are the dense layout's point-minor (C,9,3,P) tensors
+    (sparse layout passes (C,P,9,3))."""
     C = bc.shape[0]
-    rhs_c = bc - jnp.einsum("cpik,pk->ci", Y, bp)
+    if pminor:
+        rhs_c = bc - jnp.einsum("cikp,pk->ci", Y, bp)
+    else:
+        rhs_c = bc - jnp.einsum("cpik,pk->ci", Y, bp)
     dxc = jax.scipy.linalg.cho_solve(S_cho, rhs_c.reshape(-1)).reshape(C, N_CAM_PARAMS)
     dxc = dxc * free_c
-    bp_corr = bp - jnp.einsum("cpij,ci->pj", G, dxc)
+    if pminor:
+        bp_corr = bp - jnp.einsum("cijp,ci->pj", G, dxc)
+    else:
+        bp_corr = bp - jnp.einsum("cpij,ci->pj", G, dxc)
     dxp = jnp.einsum("pij,pj->pi", Hpp_inv, bp_corr)
     return dxc, dxp
 
@@ -745,16 +794,17 @@ def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, 
     P_pts = g_p.shape[0]
 
     if isinstance(problem, BADenseProblem):
+        # point-minor blocks: Jc (C,2,9,P), Jp (C,2,3,P)
 
         def G_T(vc):
             """G^T v: (C,9) -> (P,3), dense einsums."""
-            t = w * jnp.einsum("pcij,cj->pci", Jc, vc)
-            return _pshard(jnp.einsum("pcij,pci->pj", Jp, t), mesh, "obs")
+            t = w * jnp.einsum("crjp,cj->crp", Jc, vc)
+            return _pshard(jnp.einsum("crjp,crp->pj", Jp, t), mesh, "obs")
 
         def G(vp):
             """G v: (P,3) -> (C,9), dense einsums."""
-            a = w * jnp.einsum("pcij,pj->pci", Jp, vp)
-            return jnp.einsum("pcij,pci->cj", Jc, a)
+            a = w * jnp.einsum("crjp,pj->crp", Jp, vp)
+            return jnp.einsum("crjp,crp->cj", Jc, a)
 
     else:
 
@@ -823,8 +873,9 @@ def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, 
     so CG converges in a handful of iterations)."""
     factors = _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh)
     S_cho, G, Y, Hpp_inv, free_c = factors
+    pminor = isinstance(problem, BADenseProblem)
     if problem.n_constraints == 0:
-        return _schur_apply(S_cho, G, Y, Hpp_inv, free_c, -g_c, -g_p)
+        return _schur_apply(S_cho, G, Y, Hpp_inv, free_c, -g_c, -g_p, pminor)
 
     diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
     diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
@@ -836,7 +887,7 @@ def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, 
         return hc, hp
 
     def M_inv(rc, rp):
-        return _schur_apply(S_cho, G, Y, Hpp_inv, free_c, rc, rp)
+        return _schur_apply(S_cho, G, Y, Hpp_inv, free_c, rc, rp, pminor)
 
     def dot(a, b):
         return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
@@ -1079,11 +1130,11 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
         from caliscope_tpu.parallel.sharded import shard_problem
 
         problem = shard_problem(problem, mesh)
-        if isinstance(problem, BADenseProblem) and problem.uv.shape[0] != P:
+        if isinstance(problem, BADenseProblem) and problem.n_points != P:
             # the dense layout's point axis was padded to a mesh multiple;
             # pad X0 to match (centroid fill: benign, zero-gradient, pinned)
             X0 = np.asarray(X0)
-            extra = problem.uv.shape[0] - P
+            extra = problem.n_points - P
             X0 = np.concatenate([X0, np.tile(X0.mean(axis=0), (extra, 1))])
             P = X0.shape[0]
 
@@ -1159,6 +1210,30 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
     else:
         cam9, X, cost0, cost, it, done, gnorm = _lm_run(problem, cam9_d, X_d, lb_d, ub_d, **opts)
 
+    fully_local = all(
+        not isinstance(a, jax.Array) or a.is_fully_addressable for a in (cam9, X)
+    )
+    if fully_local:
+        # ONE device->host transfer for the whole result: each separate
+        # fetch pays a flat round trip (~27 ms through the dev tunnel), and
+        # the naive per-field readback (7 fetches) cost more than a dozen
+        # LM iterations of actual solving.
+        flat = np.asarray(_pack_result(cam9, X, cost0, cost, it, done, gnorm))
+        nc = cam9.size
+        cam9_h = flat[:nc].reshape(cam9.shape)
+        X_h = flat[nc : nc + X.size].reshape(X.shape)
+        cost0_f, cost_f, it_f, done_f, gnorm_f = flat[nc + X.size :]
+        return BAResult(
+            cam9=cam9_h,
+            X=X_h[:P_orig],
+            cost_initial=float(cost0_f),
+            cost_final=float(cost_f),
+            n_iterations=int(it_f),
+            converged=bool(done_f),
+            gradient_norm=float(gnorm_f),
+            n_devices=int(mesh.size) if mesh is not None else 1,
+        )
+
     def to_host(a):
         # Multi-process meshes: point-axis outputs stay sharded across
         # processes (deliberately — see _pshard); gather before fetching.
@@ -1178,6 +1253,22 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
         gradient_norm=float(gnorm),
         n_devices=int(mesh.size) if mesh is not None else 1,
     )
+
+
+@jax.jit
+def _pack_result(cam9, X, cost0, cost, it, done, gnorm):
+    """Flatten the solve outputs into one buffer for a single readback."""
+    dt = cam9.dtype
+    scalars = jnp.stack(
+        [
+            jnp.asarray(cost0, dt),
+            jnp.asarray(cost, dt),
+            it.astype(dt),
+            done.astype(dt),
+            jnp.asarray(gnorm, dt),
+        ]
+    )
+    return jnp.concatenate([cam9.reshape(-1), X.reshape(-1), scalars])
 
 
 @partial(jax.jit, static_argnames=("loss", "f_scale", "use_dense", "solver", "cg_tol", "cg_max_iter", "mesh"))
