@@ -45,9 +45,16 @@ class GraphBuilder:
 
 
 def _export_module(b: GraphBuilder, module, x: str) -> str:
-    """Append `module`'s ops reading tensor `x`; returns the output name."""
+    """Append `module`'s ops reading tensor `x`; returns the output name.
+
+    Composite modules may implement their own export via the
+    `export_onnx(builder, x) -> out_name` protocol (used by the RTMPose
+    architecture family in pose/rtmpose_arch.py — residual adds, CSP
+    splits, attention blocks don't fit the Sequential walk)."""
     import torch.nn as nn
 
+    if hasattr(module, "export_onnx") and not isinstance(module, nn.Sequential):
+        return module.export_onnx(b, x)
     if isinstance(module, nn.Sequential):
         for child in module:
             x = _export_module(b, child, x)
