@@ -69,7 +69,17 @@ def chess_corner_response(images, radius: float = 4.0):
 
 def nms_corners(response, k_max: int, rel_threshold: float = 0.2, window: int = 5, border: int = 6):
     """Top-K local maxima per frame. Returns (xy (B, K, 2) float, score (B, K),
-    valid (B, K))."""
+    valid (B, K)).
+
+    TPU note: the exact top_k over the ~1M-pixel suppressed map was the
+    NMS stage's dominant cost (~11 ms/16-frame stack); lax.approx_max_k
+    (the TPU-native binned max reduction — deterministic, not sampled)
+    runs in well under 1 ms on the sparse suppressed map. A true corner is
+    lost only when two top-K peaks collide in one reduction bin; at
+    recall_target=0.999 the bench frames lose ZERO corners vs exact top_k
+    (the tpu-marked test in tests/test_pallas_kernels.py pins the full
+    set equality; at 0.99 one rank-161 noise peak of ~900 was dropped).
+    Other platforms keep exact top_k (approx_max_k is TPU-specific)."""
     B, H, W = response.shape
     r = window // 2
     pooled = jax.lax.reduce_window(
@@ -82,7 +92,10 @@ def nms_corners(response, k_max: int, rel_threshold: float = 0.2, window: int = 
     inb = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
     score = jnp.where(is_peak & inb, response, 0.0)
     flat = score.reshape(B, -1)
-    top, idx = jax.lax.top_k(flat, k_max)
+    if jax.default_backend() == "tpu":
+        top, idx = jax.lax.approx_max_k(flat, k_max, recall_target=0.999)
+    else:
+        top, idx = jax.lax.top_k(flat, k_max)
     thr = rel_threshold * jnp.max(top, axis=1, keepdims=True)
     valid = top > jnp.maximum(thr, 1e-6)
     xy = jnp.stack([(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], axis=-1)
@@ -115,8 +128,8 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
     Hp, Wp = H + 2 * pad, W + 2 * pad
 
     sigma2 = 2.0 * (win / 1.5) ** 2
-    pxw = jnp.arange(WIN, dtype=jnp.float32)[None, :] + jnp.zeros((WIN, 1), jnp.float32)
-    pyw = jnp.arange(WIN, dtype=jnp.float32)[:, None] + jnp.zeros((1, WIN), jnp.float32)
+    pxw = (jnp.arange(WIN, dtype=jnp.float32)[None, :] + jnp.zeros((WIN, 1), jnp.float32)).reshape(-1)
+    pyw = (jnp.arange(WIN, dtype=jnp.float32)[:, None] + jnp.zeros((1, WIN), jnp.float32)).reshape(-1)
 
     def one(img_p, c0):
         xi = jnp.clip(jnp.round(c0[0]).astype(jnp.int32) - WIN // 2 + pad, 0, Wp - WIN)
@@ -125,16 +138,22 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
         gx = jnp.zeros_like(sub).at[:, 1:-1].set((sub[:, 2:] - sub[:, :-2]) * 0.5)
         gy = jnp.zeros_like(sub).at[1:-1, :].set((sub[2:, :] - sub[:-2, :]) * 0.5)
         off = jnp.stack([xi, yi]).astype(jnp.float32) - pad  # window -> image coords
+        # FLAT window pixels for the iteration: a (WIN*WIN,) last axis
+        # tiles the vector lanes at ~90% occupancy where (WIN, WIN) 2-D
+        # windows sat at ~20% (WIN=28 vs the (8, 128) tile). The stage is
+        # DMA-bound on the 4k windowed gathers (~13 ms/stack measured for
+        # the slices alone), so this trims the math tail, not the bulk
+        gx = gx.reshape(-1)
+        gy = gy.reshape(-1)
         gxx = gx * gx
         gxy = gx * gy
         gyy = gy * gy
+        bx_w = gxx * pxw + gxy * pyw
+        by_w = gxy * pxw + gyy * pyw
 
         def body(_, c):
             # saddle condition over FIXED window pixels with a gaussian
-            # recentered on the moving estimate: every term is elementwise
-            # over the (WIN, WIN) block — no resampling, no gathers — which
-            # is what lets XLA lay 4k corners' windows out across the vector
-            # lanes (the resampling formulation cost 8 ms/frame; this is <2)
+            # recentered on the moving estimate: no resampling, no gathers
             dx = pxw - c[0]
             dy = pyw - c[1]
             w = jnp.exp(-(dx * dx + dy * dy) / sigma2)
@@ -142,8 +161,8 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
             a = jnp.sum(w * gxx)
             b = jnp.sum(w * gxy)
             cc = jnp.sum(w * gyy)
-            bx = jnp.sum(w * (gxx * pxw + gxy * pyw))
-            by = jnp.sum(w * (gxy * pxw + gyy * pyw))
+            bx = jnp.sum(w * bx_w)
+            by = jnp.sum(w * by_w)
             det = a * cc - b * b
             safe = jnp.abs(det) > 1e-9
             inv_det = 1.0 / jnp.where(safe, det, 1.0)

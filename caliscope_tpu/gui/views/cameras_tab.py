@@ -200,6 +200,14 @@ class CamerasTabWidget(QWidget):
         self._update_pattern_preview()
         if self.camera_list.count() > 0:
             self.camera_list.setCurrentRow(0)
+        else:
+            # explain the supported no-intrinsic-videos path instead of
+            # presenting a dead tab (reference cameras_info_placeholder.py)
+            from caliscope_tpu.gui.widgets.cameras_placeholder import CamerasInfoPlaceholder
+
+            self.message_label.hide()
+            self.placeholder = CamerasInfoPlaceholder()
+            self.content_layout.addWidget(self.placeholder)
 
     # ---- workspace plumbing --------------------------------------------------
     @property

@@ -1,5 +1,7 @@
 from caliscope_tpu.gui.widgets.camera_card import CameraThumbnailCard
 from caliscope_tpu.gui.widgets.camera_list import CameraListWidget
+from caliscope_tpu.gui.widgets.cameras_placeholder import CamerasInfoPlaceholder
+from caliscope_tpu.gui.widgets.link_label import LinkLabel
 from caliscope_tpu.gui.widgets.config_panels import ArucoSetPanel, CharucoConfigPanel, ChessboardConfigPanel
 from caliscope_tpu.gui.widgets.coverage_heatmap import CoverageHeatmapWidget
 from caliscope_tpu.gui.widgets.lens_model import LensModelWidget
@@ -14,6 +16,8 @@ from caliscope_tpu.gui.widgets.welcome import WelcomeWidget
 __all__ = [
     "ArucoSetPanel",
     "CameraListWidget",
+    "CamerasInfoPlaceholder",
+    "LinkLabel",
     "CameraThumbnailCard",
     "CalibrationQualityTabs",
     "CalibrationStepStrip",

@@ -19,8 +19,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 # with CALISCOPE_TPU_TEST_PLATFORM=tpu for on-device runs.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", os.environ.get("CALISCOPE_TPU_TEST_PLATFORM", "cpu"))
-jax.config.update("jax_enable_x64", True)
+_platform = os.environ.get("CALISCOPE_TPU_TEST_PLATFORM", "cpu")
+jax.config.update("jax_platforms", _platform)
+# x64 only on CPU: TPU has no f64 compute, and x64 mode leaks i64 scalars
+# into Pallas kernels (Mosaic's dynamic_rotate requires i32 shifts) — the
+# production TPU path never enables it either.
+jax.config.update("jax_enable_x64", _platform == "cpu")
 
 # Persistent compilation cache: the suite's walltime is dominated by x64-CPU
 # recompiles of the same solver programs across test processes; warm runs

@@ -43,6 +43,7 @@ class TestHeadlinePoseRecovery:
         assert rigidity.n_violations > 0
         assert rigidity.rmse_mm < RIGIDITY_TOL_MM
 
+    @pytest.mark.slow  # 50 s: comparative re-run of two full pipelines; rigidity contract stays fast
     def test_constrained_not_worse_than_unconstrained(self):
         scene = default_ring_scene(noise_sigma_px=0.5)
         cs = board_constraints(scene)

@@ -163,6 +163,7 @@ class TestLMConvergence:
 
 
 class TestRobustLoss:
+    @pytest.mark.slow  # 51 s: outlier-stress variant; the fast tier keeps the robust-loss unit contract
     def test_soft_l1_resists_outliers(self):
         scene = default_ring_scene(noise_sigma_px=0.5, n_frames=10)
         ip = scene.image_points_noisy()

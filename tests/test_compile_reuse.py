@@ -52,6 +52,7 @@ class TestBucketHelpers:
 
 
 class TestOptimizeCompileReuse:
+    @pytest.mark.slow  # 73 s: caching behavior, not correctness; slow tier keeps it covered
     def test_second_dataset_reuses_lm_program(self):
         """Two ring scenes with different frame counts (different observation
         and point counts, same power-of-two buckets) must share the compiled
@@ -104,6 +105,7 @@ class TestPoseNetworkCompileReuse:
 
 
 class TestIntrinsicsCompileReuse:
+    @pytest.mark.slow  # 70 s: caching behavior, not correctness; slow tier keeps it covered
     def test_different_frame_count_reuses_refiner(self):
         from caliscope_tpu.solvers.intrinsics import solve_intrinsics
 

@@ -414,6 +414,7 @@ class TestWorkspaceWatcher:
 
 
 class TestExplorer:
+    @pytest.mark.slow  # 59 s: explorer-tab recovery duplicates test_production_pipeline ground-truth contract
     def test_pipeline_recovers_ground_truth(self, app, tmp_path, workspace):
         win = self._win(tmp_path, workspace)
         tab = win.explorer_tab

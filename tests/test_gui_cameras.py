@@ -323,3 +323,69 @@ class TestCamerasTab:
         assert tab.camera_list.item(1).text().startswith("●")
         assert ws.cameras.load().cameras[1].matrix is not None
         tab.cleanup()
+
+
+class TestFrameTools:
+    def test_resize_to_square_and_rotation(self):
+        from caliscope_tpu.gui.frame_tools import apply_rotation, frame_to_qimage, resize_to_square
+
+        frame = np.arange(6, dtype=np.uint8).reshape(2, 3)
+        sq = resize_to_square(frame)
+        assert sq.shape == (3, 3)
+        assert sq[0].tolist() == [0, 1, 2]  # content top-aligned after 0-pad split
+        r1 = apply_rotation(frame, 1)  # clockwise
+        assert r1.shape == (3, 2)
+        assert r1[0].tolist() == [3, 0]
+        r_neg = apply_rotation(frame, -1)
+        np.testing.assert_array_equal(r_neg, apply_rotation(frame, 3))
+        np.testing.assert_array_equal(apply_rotation(frame, 4), frame)
+        img = frame_to_qimage(frame)
+        assert img.width() == 3 and img.height() == 2
+
+
+class TestGcConfinement:
+    def test_confines_and_restores(self, app):
+        import gc
+
+        from caliscope_tpu.gui import gc_confinement
+
+        assert gc.isenabled()
+        timer = gc_confinement.enable(interval_ms=50)
+        try:
+            assert not gc.isenabled()
+            assert timer.isActive()
+        finally:
+            gc_confinement.disable(timer)
+        assert gc.isenabled()
+        assert not timer.isActive()
+
+
+class TestLinkLabelAndPlaceholder:
+    def test_link_label_styles_and_clicks(self, app):
+        from caliscope_tpu.gui.theme import Colors
+        from caliscope_tpu.gui.widgets import LinkLabel
+
+        lbl = LinkLabel("docs")
+        assert Colors.PRIMARY in lbl._style and "text-decoration: none" in lbl._style
+        lbl.set_hovered(True)
+        assert "text-decoration: underline" in lbl._style
+        got = []
+        lbl.clicked.connect(lambda: got.append(1))
+        lbl.click()
+        assert got == [1]
+
+    def test_cameras_tab_shows_placeholder_without_videos(self, app, tmp_path):
+        from caliscope_tpu.gui.views import CamerasTabWidget
+        from caliscope_tpu.workspace import Workspace
+
+        ws = Workspace.create(tmp_path / "ws")
+
+        class Win:
+            pass
+
+        win = Win()
+        win.ws = ws
+        tab = CamerasTabWidget(win)
+        assert tab.camera_list.count() == 0
+        assert "No intrinsic calibration videos" in tab.placeholder.label.text()
+        tab.cleanup()

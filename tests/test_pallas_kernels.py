@@ -125,3 +125,44 @@ class TestSortedCandidates:
             for l in o:
                 assert o[l][0] == n[l][0]
                 np.testing.assert_allclose(o[l][1], n[l][1])
+
+
+class TestApproxNMSOnTPU:
+    @tpu_only
+    @pytest.mark.tpu
+    def test_approx_topk_recovers_exact_corner_set(self):
+        """nms_corners uses lax.approx_max_k on TPU; the valid corner SET on
+        rendered board frames must match exact top_k (missing a real corner
+        would silently degrade the charuco snap)."""
+        import jax.numpy as jnp
+
+        import bench as bench_mod
+        from caliscope_tpu.detect.corners import nms_corners
+        from caliscope_tpu.detect.pallas_kernels import chess_corner_response_pallas
+
+        _ch, frames = bench_mod._detect_frames()
+        imgs = jnp.asarray(frames[:4].astype(np.float32))
+        resp = chess_corner_response_pallas(imgs)
+        xy_a, top_a, val_a = nms_corners(resp, 256)
+        # exact reference: replicate the suppression host-side, then exact
+        # top-k (nms_corners itself swaps in approx_max_k on TPU)
+        r = np.asarray(resp)
+        B, H, W = r.shape
+        for b in range(B):
+            got = {
+                (float(x), float(y))
+                for (x, y), v in zip(np.asarray(xy_a[b]), np.asarray(val_a[b]))
+                if v
+            }
+            from scipy.ndimage import maximum_filter
+
+            pooled = maximum_filter(r[b], size=5, mode="nearest")
+            score = np.where((r[b] >= pooled) & (r[b] > 0), r[b], 0.0)
+            score[:6] = score[-6:] = 0.0
+            score[:, :6] = score[:, -6:] = 0.0
+            flat = score.ravel()
+            order = np.argsort(flat)[::-1][:256]
+            thr = max(0.2 * flat[order[0]], 1e-6)
+            want = {(float(i % W), float(i // W)) for i in order if flat[i] > thr}
+            missing = want - got
+            assert not missing, f"frame {b}: approx NMS lost corners {sorted(missing)[:5]}"

@@ -27,14 +27,14 @@ import jax.numpy as jnp
 
 from caliscope_tpu.detect.kernels import (
     adaptive_threshold,
-    component_candidates,
-    connected_components,
+    component_candidates_sorted,
     extract_patches,
     integral_image,
     quad_corners_from_mask,
     refine_quad_edges,
     sample_marker_bits,
 )
+from caliscope_tpu.detect.pallas_ccl import connected_components_dispatch
 from caliscope_tpu.detect.corners import xcorner_graph
 
 N_BITS, K_MAX, PATCH, MIN_AREA, CCL_ITERS = 4, 64, 96, 49, 4
@@ -49,10 +49,10 @@ def stage_graph(imgs, upto: str, ccl_iters: int = CCL_ITERS):
     )
     if upto == "threshold":
         return binary.sum(dtype=jnp.float32)
-    labels = connected_components(binary, n_iters=ccl_iters)
+    labels = connected_components_dispatch(binary, n_iters=ccl_iters)
     if upto == "ccl":
         return labels.sum(dtype=jnp.float32)
-    sel, areas, bbox, valid = component_candidates(binary, labels, K_MAX, float(MIN_AREA))
+    sel, areas, bbox, valid = component_candidates_sorted(binary, labels, K_MAX, float(MIN_AREA))
     if upto == "candidates":
         return areas.sum() + bbox.sum() + sel.sum(dtype=jnp.float32)
     gray, mask, origin, scale = extract_patches(imgs, binary, labels, sel, bbox, PATCH)
