@@ -123,11 +123,18 @@ def dense_observation_residuals(cam9_all, X_all, uv_t, K0_all, dist0_all, fishey
     peak, on the full LM iteration). With P in lanes every per-observation
     tensor tiles at full occupancy. uv_t: (C, 2, P); returns (C, 2, P)."""
 
-    def per_cam(cam9, uv_c, K0, dist0, fe, ifx):
-        uv_hat = project_with_block(X_all, cam9, K0, dist0, fe, any_fisheye)  # (P, 2)
-        return uv_hat.T * ifx - uv_c * ifx
+    def one(cam9, X, uv_i, K0, dist0, fe, ifx):
+        return _obs_residual(cam9, X, uv_i, K0, dist0, fe, ifx, any_fisheye)
 
-    return jax.vmap(per_cam)(cam9_all, uv_t, K0_all, dist0_all, fisheye_all, inv_fx_all)
+    # per-POINT inner vmap with out_axes=-1, matching the blocks builder:
+    # XLA then keeps every projection intermediate point-minor (lanes fully
+    # occupied). The per-camera bulk form (project (P, 2), transpose after)
+    # left intermediates point-MAJOR with 2-3 lanes live and measured ~2.5
+    # ms per cost eval at canonical scale vs ~0.1 ms for this form.
+    inner = jax.vmap(one, in_axes=(None, 0, 1, None, None, None, None), out_axes=-1)
+    return jax.vmap(inner, in_axes=(0, None, 0, 0, 0, 0, 0))(
+        cam9_all, X_all, uv_t, K0_all, dist0_all, fisheye_all, inv_fx_all
+    )
 
 
 def dense_observation_jacobian_blocks(cam9_all, X_all, uv_t, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye: bool = True):

@@ -695,6 +695,26 @@ def _inv3x3(A):
     return rows * inv_det[..., None, None]
 
 
+def _inv3x3_pminor(A):
+    """Closed-form symmetric-3x3 inverse in the POINT-MINOR (3, 3, P)
+    layout: every term is an elementwise op over the P lane axis (the
+    (P, 3, 3) form of _inv3x3 runs at 9/1024 tile occupancy)."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e = A[1, 1], A[1, 2]
+    f = A[2, 2]
+    c00 = d * f - e * e
+    c01 = c * e - b * f
+    c02 = b * e - c * d
+    c11 = a * f - c * c
+    c12 = b * c - a * e
+    c22 = a * d - b * b
+    inv_det = 1.0 / (a * c00 + b * c01 + c * c02)
+    rows = jnp.stack(
+        [jnp.stack([c00, c01, c02]), jnp.stack([c01, c11, c12]), jnp.stack([c02, c12, c22])]
+    )
+    return rows * inv_det
+
+
 def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
     """Build the damped Schur system over cameras.
 
@@ -718,15 +738,47 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
         # all. Point-minor blocks (C,2,9,P)/(C,2,3,P) -> G (C,9,3,P): the
         # contraction is over the tiny residual axis, elementwise along
         # lanes, and the downstream Y/S einsums keep P minormost.
+        #
+        # EVERY point-block quantity stays (3,3,P)/(3,P): the (P,3,3)
+        # layout's minor (3,3) dims occupy 9/1024 of each TPU tile, and the
+        # Hpp build + closed-form inverse + apply chain in that layout was
+        # ~10 of the 13 ms fused iteration (tools/profile_dense_fused.py).
+        # For reprojection-only problems Hpp is recomputed from the blocks
+        # directly in point-minor form (fused, ~free); constrained problems
+        # must keep the caller's d_p (it carries the constraint folds), so
+        # they pay one small transpose.
         U = Jc * w[:, :, None, :]  # (C,2,9,P)
         G = _pshard(jnp.einsum("crip,crkp->cikp", U, Jp), mesh, None, None, None, "obs")
-        Hpp_inv_t = Hpp_inv.transpose(1, 2, 0)  # (3,3,P)
-        Y = jnp.einsum("cijp,jkp->cikp", G, Hpp_inv_t)  # (C,9,3,P)
-        S = -jnp.einsum("cikp,djkp->cidj", Y, G)  # (C,9,C,9)
+        if problem.n_constraints == 0:
+            Up = Jp * w[:, :, None, :]
+            d_p_t = jnp.einsum("crip,crjp->ijp", Up, Jp)  # (3,3,P)
+            pinned = (d_p_t[0, 0] + d_p_t[1, 1] + d_p_t[2, 2]) == 0
+            d_p_t = d_p_t + pinned[None, None, :] * jnp.eye(3, dtype=dt)[:, :, None]
+        else:
+            d_p_t = d_p.transpose(1, 2, 0)
+        diag_p_t = jnp.maximum(jnp.stack([d_p_t[0, 0], d_p_t[1, 1], d_p_t[2, 2]]), 1e-12)
+        eye_t = jnp.eye(3, dtype=dt)[:, :, None]
+        Hpp_t = d_p_t + lam * diag_p_t[:, None, :] * eye_t + 1e-12 * eye_t
+        Hpp_inv_t = _pshard(_inv3x3_pminor(Hpp_t), mesh, None, None, "obs")
+        # Y and S with hand-staged lowerings: the einsum forms
+        # ("cijp,jkp->cikp", "cikp,djkp->cidj") measured 5.7 ms on the v5e —
+        # XLA stages them through transposed batched matmuls. The unrolled
+        # j-sum is 9 lane-wise madds, and S is ONE (72, 3P) x (3P, 72)
+        # dot_general straight onto the MXU (the reshape is contiguous:
+        # (c,i) major, (k,p) minor). Together: 1.45 ms.
+        Y = jnp.stack(
+            [sum(G[:, :, j, :] * Hpp_inv_t[j, k][None, None, :] for j in range(3)) for k in range(3)],
+            axis=2,
+        )  # (C,9,3,P)
+        n_cp = C * N_CAM_PARAMS
+        Yr = Y.reshape(n_cp, -1)
+        Gr = G.reshape(n_cp, -1)
+        S = -jax.lax.dot_general(Yr, Gr, (((1,), (1,)), ((), ())), preferred_element_type=dt)
+        S = S.reshape(C, N_CAM_PARAMS, C, N_CAM_PARAMS)
         S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(A_cc)
-        S = S.reshape(C * N_CAM_PARAMS, C * N_CAM_PARAMS)
+        S = S.reshape(n_cp, n_cp)
         S_cho = jax.scipy.linalg.cho_factor(S)
-        return S_cho, G, Y, Hpp_inv, free_c
+        return S_cho, G, Y, Hpp_inv_t, free_c
     else:
         W_blocks = jnp.einsum("nij,ni,nik->njk", Jc, w, Jp)  # (N,9,3)
         # flat segment_sum instead of .at[].add: XLA's sorted-segment lowering
@@ -750,19 +802,22 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
 def _schur_apply(S_cho, G, Y, Hpp_inv, free_c, bc, bp, pminor: bool = False):
     """Solve the damped reprojection normal system given Schur factors.
 
-    pminor: G/Y are the dense layout's point-minor (C,9,3,P) tensors
-    (sparse layout passes (C,P,9,3))."""
+    pminor: G/Y are the dense layout's point-minor (C,9,3,P) tensors and
+    Hpp_inv is (3,3,P) (sparse layout passes (C,P,9,3) and (P,3,3))."""
     C = bc.shape[0]
     if pminor:
-        rhs_c = bc - jnp.einsum("cikp,pk->ci", Y, bp)
-    else:
-        rhs_c = bc - jnp.einsum("cpik,pk->ci", Y, bp)
+        bp_t = bp.T  # (3,P)
+        n_cp = Y.shape[0] * Y.shape[1]
+        rhs_c = bc.reshape(-1) - Y.reshape(n_cp, -1) @ bp_t.reshape(-1)
+        dxc = jax.scipy.linalg.cho_solve(S_cho, rhs_c).reshape(C, N_CAM_PARAMS)
+        dxc = dxc * free_c
+        bp_corr = bp_t - (dxc.reshape(-1) @ G.reshape(n_cp, -1)).reshape(3, -1)
+        dxp_t = sum(Hpp_inv[:, j] * bp_corr[j][None, :] for j in range(3))  # (3,P)
+        return dxc, dxp_t.T
+    rhs_c = bc - jnp.einsum("cpik,pk->ci", Y, bp)
     dxc = jax.scipy.linalg.cho_solve(S_cho, rhs_c.reshape(-1)).reshape(C, N_CAM_PARAMS)
     dxc = dxc * free_c
-    if pminor:
-        bp_corr = bp - jnp.einsum("cijp,ci->pj", G, dxc)
-    else:
-        bp_corr = bp - jnp.einsum("cpij,ci->pj", G, dxc)
+    bp_corr = bp - jnp.einsum("cpij,ci->pj", G, dxc)
     dxp = jnp.einsum("pij,pj->pi", Hpp_inv, bp_corr)
     return dxc, dxp
 

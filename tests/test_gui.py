@@ -46,11 +46,42 @@ def pump(app, until=None, timeout=30.0):
 
 
 @pytest.fixture(scope="module")
-def calibrated_volume():
+def calibrated_volume(tmp_path_factory):
+    """Bootstrap + optimize a synthetic ring rig ONCE per xdist session.
+
+    Module-scoped fixtures re-execute on every worker that steals a test
+    from this module; under --dist worksteal that rebuilt this ~30 s solve
+    up to n_workers times. A shared on-disk cache (first finisher publishes
+    atomically; later requests load instantly; concurrent first requests
+    each compute rather than idle-wait) bounds the duplication. The
+    scene/ip are regenerated per worker (cheap, deterministic seed); the
+    optimized cameras + world points round-trip through the cache.
+    """
+    import pickle
+
     scene = default_ring_scene(noise_sigma_px=0.4, n_frames=8)
     ip = scene.image_points_noisy()
-    vol = CaptureVolume.bootstrap(ip, strip_extrinsics(scene.cameras))
-    return vol.optimize(), ip, scene
+
+    root = tmp_path_factory.getbasetemp()
+    shared = root.parent if root.name.startswith("popen-") else root
+    cache = shared / "calibrated_volume_gui.pkl"
+    if cache.exists():
+        try:
+            with open(cache, "rb") as f:
+                cams, wp = pickle.load(f)
+            return CaptureVolume(cams, ip, wp), ip, scene
+        except Exception:
+            pass  # corrupt/partial write: recompute below
+
+    # NOT ready: compute locally rather than idle-polling for another
+    # worker (a blocked worker is worse than a duplicated solve); whoever
+    # finishes first publishes atomically for every later request
+    vol = CaptureVolume.bootstrap(ip, strip_extrinsics(scene.cameras)).optimize()
+    tmp = cache.with_suffix(f".tmp{os.getpid()}")
+    with open(tmp, "wb") as f:
+        pickle.dump((vol.camera_array, vol.world_points), f)
+    tmp.replace(cache)
+    return vol, ip, scene
 
 
 @pytest.fixture
@@ -437,6 +468,7 @@ class TestExplorer:
         assert (img0 != img1).any()
         win.close()
 
+    @pytest.mark.slow  # 66 s: second full explorer pipeline; preset math is covered by synthetic suites
     def test_perturbed_preset_degrades_extrinsics(self, app):
         """The +5% focal preset must produce measurably worse extrinsics than
         the clean ring — the explorer's whole point is showing intrinsic
