@@ -23,13 +23,18 @@ def _strip_obj_loc(ip: ImagePoints) -> ImagePoints:
 
 
 @pytest.fixture(scope="module")
-def markerless_volume():
+def markerless_volume(tmp_path_factory):
     # many frames so pooled correspondences span a volume (coplanarity breaker)
+    from tests.fixture_cache import per_run_cached
+
     scene = default_ring_scene(noise_sigma_px=0.5, n_frames=25)
-    ip = _strip_obj_loc(scene.image_points_noisy())
-    cams = strip_extrinsics(scene.cameras)  # keeps true intrinsics (epipolar precondition)
-    volume = CaptureVolume.bootstrap(ip, cams)
-    return scene, volume
+
+    def compute():
+        ip = _strip_obj_loc(scene.image_points_noisy())
+        cams = strip_extrinsics(scene.cameras)  # keeps true intrinsics (epipolar precondition)
+        return CaptureVolume.bootstrap(ip, cams)
+
+    return scene, per_run_cached(tmp_path_factory, "epipolar_markerless", compute)
 
 
 def _aligned_center_errors(scene, volume):

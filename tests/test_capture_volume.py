@@ -17,11 +17,16 @@ def scene():
 
 
 @pytest.fixture(scope="module")
-def boot_volume(scene):
+def boot_volume(scene, tmp_path_factory):
     """Bootstrapped (pose network + triangulation) volume from stripped cameras."""
-    ip = scene.image_points_noisy()
-    cams = strip_extrinsics(scene.cameras)
-    return CaptureVolume.bootstrap(ip, cams)
+    from tests.fixture_cache import per_run_cached
+
+    def compute():
+        ip = scene.image_points_noisy()
+        cams = strip_extrinsics(scene.cameras)
+        return CaptureVolume.bootstrap(ip, cams)
+
+    return per_run_cached(tmp_path_factory, "capture_volume_boot", compute)
 
 
 class TestBootstrapAndOptimize:

@@ -47,41 +47,20 @@ def pump(app, until=None, timeout=30.0):
 
 @pytest.fixture(scope="module")
 def calibrated_volume(tmp_path_factory):
-    """Bootstrap + optimize a synthetic ring rig ONCE per xdist session.
-
-    Module-scoped fixtures re-execute on every worker that steals a test
-    from this module; under --dist worksteal that rebuilt this ~30 s solve
-    up to n_workers times. A shared on-disk cache (first finisher publishes
-    atomically; later requests load instantly; concurrent first requests
-    each compute rather than idle-wait) bounds the duplication. The
-    scene/ip are regenerated per worker (cheap, deterministic seed); the
-    optimized cameras + world points round-trip through the cache.
-    """
-    import pickle
+    """Bootstrap + optimize a synthetic ring rig ONCE per xdist run (the
+    ~30 s solve was re-executed by every worker that stole a test from
+    this module; see tests/fixture_cache.py)."""
+    from tests.fixture_cache import per_run_cached
 
     scene = default_ring_scene(noise_sigma_px=0.4, n_frames=8)
     ip = scene.image_points_noisy()
 
-    root = tmp_path_factory.getbasetemp()
-    shared = root.parent if root.name.startswith("popen-") else root
-    cache = shared / "calibrated_volume_gui.pkl"
-    if cache.exists():
-        try:
-            with open(cache, "rb") as f:
-                cams, wp = pickle.load(f)
-            return CaptureVolume(cams, ip, wp), ip, scene
-        except Exception:
-            pass  # corrupt/partial write: recompute below
+    def compute():
+        vol = CaptureVolume.bootstrap(ip, strip_extrinsics(scene.cameras)).optimize()
+        return vol.camera_array, vol.world_points
 
-    # NOT ready: compute locally rather than idle-polling for another
-    # worker (a blocked worker is worse than a duplicated solve); whoever
-    # finishes first publishes atomically for every later request
-    vol = CaptureVolume.bootstrap(ip, strip_extrinsics(scene.cameras)).optimize()
-    tmp = cache.with_suffix(f".tmp{os.getpid()}")
-    with open(tmp, "wb") as f:
-        pickle.dump((vol.camera_array, vol.world_points), f)
-    tmp.replace(cache)
-    return vol, ip, scene
+    cams, wp = per_run_cached(tmp_path_factory, "gui_calibrated_volume", compute)
+    return CaptureVolume(cams, ip, wp), ip, scene
 
 
 @pytest.fixture
