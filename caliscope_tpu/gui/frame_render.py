@@ -4,7 +4,8 @@ Parity: reference src/caliscope/gui/views/intrinsic_calibration_widget.py:341
 (FrameRenderThread) — raw tracked frames are converted to display pixmaps
 OFF the GUI thread: overlay layers (current detections, accumulated
 coverage, selected grids), optional undistortion preview, downscale to a
-display edge length, then one pixmap_ready signal per frame. The thread
+display edge length, then one image_ready signal per frame (QImage — see
+FrameRenderThread docstring for why not QPixmap). The thread
 reads a display queue the presenter feeds during extraction; the queue is
 bounded and DROPPING (display is best-effort, extraction must never block
 on rendering).
@@ -20,8 +21,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from caliscope_tpu.gui.qt import QPixmap, QThread, Signal
-from caliscope_tpu.gui.rendering import draw_points, to_pixmap
+from caliscope_tpu.gui.qt import QImage, QPixmap, QThread, Signal
+from caliscope_tpu.gui.rendering import draw_points, to_qimage
 
 # overlay colors (RGB)
 CURRENT_POINTS_COLOR = np.array([220, 40, 40], np.uint8)
@@ -66,9 +67,14 @@ def offer_frame(q: "queue.Queue[TrackedFrame | None]", item: "TrackedFrame | Non
 
 class FrameRenderThread(QThread):
     """Consumes TrackedFrames from a display queue and emits display
-    pixmaps. None in the queue is the stop sentinel (stop() also works)."""
+    images. None in the queue is the stop sentinel (stop() also works).
 
-    pixmap_ready = Signal(QPixmap)
+    The worker emits QIMAGES, not QPixmaps: under real Qt, QPixmap is a
+    GUI-thread-only resource ("QPixmap: It is not safe to use pixmaps
+    outside the GUI thread"); QImage is thread-safe. Convert at the
+    consuming slot — connect_to_label wires that up."""
+
+    image_ready = Signal(QImage)
 
     def __init__(self, display_queue, camera=None, pixmap_edge_length: int = 500, parent=None):
         super().__init__(parent)
@@ -98,11 +104,16 @@ class FrameRenderThread(QThread):
         self._overlays.show_accumulated = accumulated
         self._overlays.show_selected_grids = selected_grids
 
+    def connect_to_label(self, label) -> None:
+        """Wire image_ready to a QLabel: the QImage -> QPixmap conversion
+        happens in this GUI-thread slot (QPixmap is not thread-safe)."""
+        self.image_ready.connect(lambda img: label.setPixmap(QPixmap.fromImage(img)))
+
     def rerender_cached(self) -> None:
         """Re-render the last frame with current settings (overlay toggles
         should not wait for the next live frame)."""
         if self._last is not None:
-            self.pixmap_ready.emit(self._render(self._last))
+            self.image_ready.emit(self._render(self._last))
 
     # ---- worker --------------------------------------------------------------
     def run(self) -> None:
@@ -114,9 +125,9 @@ class FrameRenderThread(QThread):
             if item is None:
                 break
             self._last = item
-            self.pixmap_ready.emit(self._render(item))
+            self.image_ready.emit(self._render(item))
 
-    def _render(self, tf: TrackedFrame) -> QPixmap:
+    def _render(self, tf: TrackedFrame) -> QImage:
         img = tf.frame
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
@@ -135,4 +146,4 @@ class FrameRenderThread(QThread):
             # integer-stride downscale: cheap, and identical under both backends
             step = max(1, int(round(1.0 / scale)))
             img = img[::step, ::step]
-        return to_pixmap(img)
+        return to_qimage(img)

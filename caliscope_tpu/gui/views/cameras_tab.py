@@ -110,7 +110,7 @@ class CameraPanel(QWidget):
             display_queue=q,
         )
         self.render_thread = FrameRenderThread(q, cam)
-        self.render_thread.pixmap_ready.connect(self.video_label.setPixmap)
+        self.render_thread.connect_to_label(self.video_label)
         self._bridge.bind(self.presenter.calibration_completed, "done")
         self._bridge.bind(self.presenter.error_occurred, "error")
         self.run_btn.setEnabled(False)

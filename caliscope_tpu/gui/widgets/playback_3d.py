@@ -66,7 +66,10 @@ class Playback3DWidget(QWidget):
         self._sync_indices = vm.valid_sync_indices
         self.slider.setRange(0, max(len(self._sync_indices) - 1, 0))
         centers = vm.get_camera_positions()
-        first = vm.get_frame_geometry(self.current_sync_index()) if vm.has_points else None
+        # a static-only view model has points but no dynamic sync indices,
+        # so current_sync_index() can be None even when has_points is True
+        sync0 = self.current_sync_index()
+        first = vm.get_frame_geometry(sync0 if sync0 is not None else 0) if vm.has_points else None
         pts = first.points[np.isfinite(first.points).all(axis=1)] if first is not None else np.zeros((0, 3))
         anchor = pts if len(pts) else (centers if centers is not None else np.zeros((1, 3)))
         self.renderer.target = anchor.mean(axis=0)
@@ -108,7 +111,12 @@ class Playback3DWidget(QWidget):
         if self._view_model is not None:
             vm = self._view_model
             sync = self.current_sync_index()
-            geo = vm.get_frame_geometry(sync) if sync is not None else None
+            # sync None + points present = static-only recording: frame 0
+            # composites the static points (dynamic slots are NaN anyway)
+            if sync is None and vm.has_points:
+                geo = vm.get_frame_geometry(0)
+            else:
+                geo = vm.get_frame_geometry(sync) if sync is not None else None
             lines, colors = vm.get_static_wireframe_data()
             wire = geo.points[lines] if geo is not None and len(lines) else None
             img = self.renderer.render(

@@ -38,9 +38,17 @@ class _DisplayTeeTracker(Tracker):
     pass-through for detection semantics."""
 
     def __init__(self, inner: Tracker, display_queue):
+        import numpy as np
+
         self.inner = inner
         self.queue = display_queue
-        self._accumulated: list = []
+        # amortized-growth accumulation buffer: re-concatenating the whole
+        # history per frame was O(n^2) over an extraction, ON the
+        # extraction path. Views of buf[:count] handed to the render
+        # thread stay valid: appends only write past count, and growth
+        # reallocates (the reader's old array is untouched).
+        self._accum_buf = np.zeros((256, 2))
+        self._accum_count = 0
 
     @property
     def name(self) -> str:
@@ -67,12 +75,18 @@ class _DisplayTeeTracker(Tracker):
         from caliscope_tpu.gui.frame_render import TrackedFrame, offer_frame
 
         current = np.asarray(pkt.img_loc).reshape(-1, 2) if len(pkt) else np.zeros((0, 2))
-        if len(current):
-            self._accumulated.append(current)
-        accumulated = (
-            np.concatenate(self._accumulated) if self._accumulated else np.zeros((0, 2))
+        n = len(current)
+        if n:
+            if self._accum_count + n > len(self._accum_buf):
+                grown = np.zeros((2 * (self._accum_count + n), 2))
+                grown[: self._accum_count] = self._accum_buf[: self._accum_count]
+                self._accum_buf = grown
+            self._accum_buf[self._accum_count : self._accum_count + n] = current
+            self._accum_count += n
+        offer_frame(
+            self.queue,
+            TrackedFrame(np.asarray(frame), current, self._accum_buf[: self._accum_count]),
         )
-        offer_frame(self.queue, TrackedFrame(np.asarray(frame), current, accumulated))
 
     def get_point_name(self, keypoint_id: int) -> str:
         return self.inner.get_point_name(keypoint_id)

@@ -715,6 +715,32 @@ def _inv3x3_pminor(A):
     return rows * inv_det
 
 
+def _pminor_hpp_inv(problem, w, Jp, d_p, lam, dt, mesh):
+    """Damped inverse point blocks in POINT-MINOR (3, 3, P) layout, shared
+    by the explicit and implicit dense Schur paths.
+
+    The (P, 3, 3) layout's minor (3, 3) dims occupy 9/1024 of each TPU
+    tile; this chain (Hpp build + closed-form inverse) in that layout was
+    ~10 of the 13 ms fused iteration (tools/profile_dense_fused.py).
+    Reprojection-only problems recompute d_p from the blocks directly in
+    point-minor form (fused, ~free); constrained problems must keep the
+    caller's d_p — it carries the constraint folds — and pay one small
+    transpose. Pinning/damping/floors must match _solve_dense/_solve_cg's
+    (P, 3, 3) forms exactly.
+    """
+    if problem.n_constraints == 0:
+        Up = Jp * w[:, :, None, :]
+        d_p_t = jnp.einsum("crip,crjp->ijp", Up, Jp)  # (3,3,P)
+        pinned = (d_p_t[0, 0] + d_p_t[1, 1] + d_p_t[2, 2]) == 0
+        d_p_t = d_p_t + pinned[None, None, :] * jnp.eye(3, dtype=dt)[:, :, None]
+    else:
+        d_p_t = d_p.transpose(1, 2, 0)
+    diag_p_t = jnp.maximum(jnp.stack([d_p_t[0, 0], d_p_t[1, 1], d_p_t[2, 2]]), 1e-12)
+    eye_t = jnp.eye(3, dtype=dt)[:, :, None]
+    Hpp_t = d_p_t + lam * diag_p_t[:, None, :] * eye_t + 1e-12 * eye_t
+    return _pshard(_inv3x3_pminor(Hpp_t), mesh, None, None, "obs")
+
+
 def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
     """Build the damped Schur system over cameras.
 
@@ -728,38 +754,16 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
     dt = g_c.dtype
     free_c = problem.param_free.astype(dt)
     diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
-    diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
     A_cc = d_c + jax.vmap(jnp.diag)(lam * diag_c + jnp.where(problem.param_free, 0.0, 1.0))
-    Hpp = d_p + jax.vmap(jnp.diag)(lam * diag_p) + 1e-12 * jnp.eye(3, dtype=dt)
-    Hpp_inv = _pshard(_inv3x3(Hpp), mesh, "obs")
 
     if isinstance(problem, BADenseProblem):
         # the coupling tensor IS the per-slot product — no segment sum at
         # all. Point-minor blocks (C,2,9,P)/(C,2,3,P) -> G (C,9,3,P): the
         # contraction is over the tiny residual axis, elementwise along
         # lanes, and the downstream Y/S einsums keep P minormost.
-        #
-        # EVERY point-block quantity stays (3,3,P)/(3,P): the (P,3,3)
-        # layout's minor (3,3) dims occupy 9/1024 of each TPU tile, and the
-        # Hpp build + closed-form inverse + apply chain in that layout was
-        # ~10 of the 13 ms fused iteration (tools/profile_dense_fused.py).
-        # For reprojection-only problems Hpp is recomputed from the blocks
-        # directly in point-minor form (fused, ~free); constrained problems
-        # must keep the caller's d_p (it carries the constraint folds), so
-        # they pay one small transpose.
         U = Jc * w[:, :, None, :]  # (C,2,9,P)
         G = _pshard(jnp.einsum("crip,crkp->cikp", U, Jp), mesh, None, None, None, "obs")
-        if problem.n_constraints == 0:
-            Up = Jp * w[:, :, None, :]
-            d_p_t = jnp.einsum("crip,crjp->ijp", Up, Jp)  # (3,3,P)
-            pinned = (d_p_t[0, 0] + d_p_t[1, 1] + d_p_t[2, 2]) == 0
-            d_p_t = d_p_t + pinned[None, None, :] * jnp.eye(3, dtype=dt)[:, :, None]
-        else:
-            d_p_t = d_p.transpose(1, 2, 0)
-        diag_p_t = jnp.maximum(jnp.stack([d_p_t[0, 0], d_p_t[1, 1], d_p_t[2, 2]]), 1e-12)
-        eye_t = jnp.eye(3, dtype=dt)[:, :, None]
-        Hpp_t = d_p_t + lam * diag_p_t[:, None, :] * eye_t + 1e-12 * eye_t
-        Hpp_inv_t = _pshard(_inv3x3_pminor(Hpp_t), mesh, None, None, "obs")
+        Hpp_inv_t = _pminor_hpp_inv(problem, w, Jp, d_p, lam, dt, mesh)
         # Y and S with hand-staged lowerings: the einsum forms
         # ("cijp,jkp->cikp", "cikp,djkp->cidj") measured 5.7 ms on the v5e —
         # XLA stages them through transposed batched matmuls. The unrolled
@@ -797,6 +801,9 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
         S_cho = jax.scipy.linalg.cho_factor(S)
         return S_cho, G, Y, Hpp_inv_t, free_c
     else:
+        diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
+        Hpp = d_p + jax.vmap(jnp.diag)(lam * diag_p) + 1e-12 * jnp.eye(3, dtype=dt)
+        Hpp_inv = _pshard(_inv3x3(Hpp), mesh, "obs")
         W_blocks = jnp.einsum("nij,ni,nik->njk", Jc, w, Jp)  # (N,9,3)
         # flat segment_sum instead of .at[].add: XLA's sorted-segment lowering
         # is ~4x faster than 2-D scatter-add for this shape on TPU. The key is
@@ -870,17 +877,9 @@ def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, 
     P_pts = g_p.shape[0]
 
     if isinstance(problem, BADenseProblem):
-        # point-minor blocks: Jc (C,2,9,P), Jp (C,2,3,P). Hpp lives (3,3,P)
-        # for the same tile-occupancy reason as _schur_factors — this path
-        # is reprojection-only, so it is recomputed fused from the blocks.
-        Up_cg = Jp * w[:, :, None, :]
-        d_p_t = jnp.einsum("crip,crjp->ijp", Up_cg, Jp)
-        pinned = (d_p_t[0, 0] + d_p_t[1, 1] + d_p_t[2, 2]) == 0
-        d_p_t = d_p_t + pinned[None, None, :] * jnp.eye(3, dtype=dt)[:, :, None]
-        diag_p_t = jnp.maximum(jnp.stack([d_p_t[0, 0], d_p_t[1, 1], d_p_t[2, 2]]), 1e-12)
-        eye_t = jnp.eye(3, dtype=dt)[:, :, None]
-        Hpp_t = d_p_t + lam * diag_p_t[:, None, :] * eye_t + 1e-12 * eye_t
-        Hpp_inv_t = _pshard(_inv3x3_pminor(Hpp_t), mesh, None, None, "obs")
+        # point-minor blocks: Jc (C,2,9,P), Jp (C,2,3,P); Hpp lives (3,3,P)
+        # (shared helper with the explicit Schur path)
+        Hpp_inv_t = _pminor_hpp_inv(problem, w, Jp, d_p, lam, dt, mesh)
 
         def Hpp_inv_apply(vp):  # (P,3) -> (P,3)
             vt = vp.T
@@ -1391,6 +1390,11 @@ def lm_iteration(
 
     Returns (cam9', X', lam', cost', accepted).
     """
+    if solver == "schur_cg" and not use_dense and problem.n_constraints:
+        raise ValueError(
+            "solver='schur_cg' is reprojection-only (constraints couple points "
+            "and break the block-diagonal Hpp elimination); use 'schur' or 'cg'."
+        )
     n_points = X.shape[0]
     r, w, Jc, Jp, rq, qidx, Jq, cost = _masked_blocks(problem, cam9, X, loss, f_scale)
     g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh)

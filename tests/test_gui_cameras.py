@@ -108,15 +108,14 @@ class TestFrameRenderThread:
         cam = CameraData(cam_id=0, size=(64, 48))
         t = FrameRenderThread(q, cam, pixmap_edge_length=64)
         got = []
-        t.pixmap_ready.connect(got.append)
+        t.image_ready.connect(got.append)
         t.start()
         frame = np.full((48, 64), 120, np.uint8)
         offer_frame(q, TrackedFrame(frame, np.array([[10.0, 10.0]]), np.array([[5.0, 5.0]])))
         offer_frame(q, None)  # stop sentinel
         pump(app, until=lambda: len(got) >= 1 and not t.isRunning())
         assert t.wait(2000)
-        pix = got[0]
-        img = pix.image.array if pix.image is not None else None
+        img = got[0].array
         # overlay pixels actually stamped: current point red at (10, 10)
         assert img is not None
         assert tuple(img[10, 10]) == (220, 40, 40)
@@ -132,11 +131,11 @@ class TestFrameRenderThread:
         q = make_display_queue()
         t = FrameRenderThread(q, CameraData(cam_id=0, size=(64, 48)), pixmap_edge_length=64)
         got = []
-        t.pixmap_ready.connect(got.append)
+        t.image_ready.connect(got.append)
         t._last = TrackedFrame(np.zeros((48, 64), np.uint8), np.array([[10.0, 10.0]]))
         t.set_overlay_visibility(current_points=False, accumulated=True, selected_grids=True)
         t.rerender_cached()
-        img = got[-1].image.array
+        img = got[-1].array
         assert tuple(img[10, 10]) == (0, 0, 0)  # current-points layer off
 
     def test_offer_frame_drops_oldest_under_pressure(self):
