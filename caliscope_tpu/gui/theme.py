@@ -49,8 +49,8 @@ class Colors:
 class Typography:
     """Composed label styles for recurring patterns."""
 
-    SECTION_HEADER = f"font-weight: bold; color: {Colors.TEXT_MUTED}; font-size: 11px;"
-    HELPER_TEXT = f"color: {Colors.TEXT_MUTED}; font-style: italic;"
+    SECTION_HEADER = f"color: {Colors.TEXT_MUTED}; font-size: 11px; font-weight: 600; letter-spacing: 0.04em;"
+    HELPER_TEXT = f"font-style: italic; color: {Colors.TEXT_MUTED};"
     STATUS_OK = f"color: {Colors.SUCCESS};"
     STATUS_ERROR = f"color: {Colors.ERROR};"
 

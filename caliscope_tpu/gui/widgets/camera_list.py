@@ -24,6 +24,17 @@ from caliscope_tpu.gui.theme import Colors, Styles
 logger = logging.getLogger(__name__)
 
 
+def _row_text_and_color(cam_id: int, camera) -> tuple[str, str]:
+    """Row presentation for one camera: (label, color). Calibrated cameras
+    get a filled glyph + RMSE suffix; uncalibrated a hollow glyph."""
+    calibrated = camera.matrix is not None and camera.distortions is not None
+    if not calibrated:
+        return f"○ Cam {cam_id}", Colors.ERROR
+    err = getattr(camera, "error", None)
+    suffix = "" if err is None else f" — {err:.2f}px"
+    return f"● Cam {cam_id}{suffix}", Colors.SUCCESS
+
+
 class CameraListWidget(QListWidget):
     """Sidebar list of cameras with calibration state indicators.
 
@@ -34,53 +45,41 @@ class CameraListWidget(QListWidget):
 
     def __init__(self, camera_array):
         super().__init__()
-        self._camera_array = camera_array
-        self._cam_id_to_row: dict[int, int] = {}
+        self._row_cam_ids: list[int] = []
         self.setStyleSheet(Styles.LIST_SIDEBAR)
-        self._populate()
-        self.currentRowChanged.connect(self._on_row_changed)
+        self._rebuild(camera_array)
+        self.currentRowChanged.connect(self._emit_selection)
 
-    def _populate(self) -> None:
+    def _rebuild(self, camera_array) -> None:
         self.clear()
-        self._cam_id_to_row.clear()
-        for row, (cam_id, camera) in enumerate(sorted(self._camera_array.cameras.items())):
-            self._cam_id_to_row[cam_id] = row
-            item = QListWidgetItem()
+        self._row_cam_ids = sorted(camera_array.cameras)
+        for cam_id in self._row_cam_ids:
+            text, color = _row_text_and_color(cam_id, camera_array.cameras[cam_id])
+            item = QListWidgetItem(text)
             item.setData(Qt.ItemDataRole.UserRole, cam_id)
-            if camera.matrix is not None and camera.distortions is not None:
-                err = getattr(camera, "error", None)
-                suffix = f" — {err:.2f}px" if err is not None else ""
-                item.setText(f"● Cam {cam_id}{suffix}")  # filled circle
-                item.setForeground(QBrush(QColor(Colors.SUCCESS)))
-            else:
-                item.setText(f"○ Cam {cam_id}")  # hollow circle
-                item.setForeground(QBrush(QColor(Colors.ERROR)))
+            item.setForeground(QBrush(QColor(color)))
             self.addItem(item)
 
-    def _on_row_changed(self, row: int) -> None:
-        if row < 0:
-            return
-        item = self.item(row)
-        if item is not None:
-            cam_id = item.data(Qt.ItemDataRole.UserRole)
-            logger.info(f"Camera selected: cam_id {cam_id}")
-            self.camera_selected.emit(cam_id)
+    def _emit_selection(self, row: int) -> None:
+        if 0 <= row < len(self._row_cam_ids):
+            picked = self._row_cam_ids[row]
+            logger.info(f"Camera list selection -> cam {picked}")
+            self.camera_selected.emit(picked)
 
     def refresh(self, camera_array) -> None:
         """Rebuild rows from updated camera data, preserving the current
         selection WITHOUT re-emitting camera_selected (a visual update must
         not tear down the active presenter)."""
-        current = self.currentItem()
-        current_cam_id = current.data(Qt.ItemDataRole.UserRole) if current else None
-        self._camera_array = camera_array
-        self._populate()
-        if current_cam_id is not None and current_cam_id in self._cam_id_to_row:
+        row = self.currentRow()
+        keep = self._row_cam_ids[row] if 0 <= row < len(self._row_cam_ids) else None
+        self._rebuild(camera_array)
+        if keep in self._row_cam_ids:
             was = self.blockSignals(True)
             try:
-                self.setCurrentRow(self._cam_id_to_row[current_cam_id])
+                self.setCurrentRow(self._row_cam_ids.index(keep))
             finally:
                 self.blockSignals(was)
 
     def select_cam_id(self, cam_id: int) -> None:
-        if cam_id in self._cam_id_to_row:
-            self.setCurrentRow(self._cam_id_to_row[cam_id])
+        if cam_id in self._row_cam_ids:
+            self.setCurrentRow(self._row_cam_ids.index(cam_id))

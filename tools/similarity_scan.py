@@ -27,6 +27,16 @@ pairs = [
     ("caliscope_tpu/gui/views/extrinsic_view.py", "/root/reference/src/caliscope/gui/views/extrinsic_calibration_view.py"),
     ("caliscope_tpu/pose/onnx_tracker.py", "/root/reference/src/caliscope/trackers/onnx_tracker.py"),
     ("caliscope_tpu/media/streamer.py", "/root/reference/src/caliscope/recording/frame_packet_streamer.py"),
+    # round-4 GUI back half (API-parity widgets — the highest structural-similarity risk)
+    ("caliscope_tpu/gui/widgets/camera_list.py", "/root/reference/src/caliscope/gui/camera_list_widget.py"),
+    ("caliscope_tpu/gui/views/cameras_tab.py", "/root/reference/src/caliscope/gui/cameras_tab_widget.py"),
+    ("caliscope_tpu/gui/theme.py", "/root/reference/src/caliscope/gui/theme.py"),
+    ("caliscope_tpu/gui/view_models/playback_view_model.py", "/root/reference/src/caliscope/gui/view_models/playback_view_model.py"),
+    ("caliscope_tpu/gui/frame_render.py", "/root/reference/src/caliscope/gui/views/intrinsic_calibration_widget.py"),
+    ("caliscope_tpu/gui/gc_confinement.py", "/root/reference/src/caliscope/gui/gc_confinement.py"),
+    ("caliscope_tpu/gui/frame_tools.py", "/root/reference/src/caliscope/gui/frame_emitters/tools.py"),
+    ("caliscope_tpu/gui/widgets/link_label.py", "/root/reference/src/caliscope/gui/widgets/link_label.py"),
+    ("caliscope_tpu/gui/widgets/cameras_placeholder.py", "/root/reference/src/caliscope/gui/widgets/cameras_info_placeholder.py"),
 ]
 for ours, ref in pairs:
     a = norm_lines(ours)
