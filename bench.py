@@ -504,6 +504,14 @@ def profile_iteration(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv, layout: str
         ("cost-only eval (step accept)", chain(stage_cost)),
     ]
     print(f"# LM iteration profile [{layout} layout] @ {N_OBS} obs / {N_POINTS} pts / {N_CAMERAS} cams (cumulative stages)")
+    if layout == "dense":
+        print(
+            "# CAUTION: cumulative stage cuts force the dense layout's fused\n"
+            "# intermediates (Jacobians, Schur coupling) to materialize and\n"
+            "# OVERSTATE the fused iteration severalfold (see PROFILE.md).\n"
+            "# For honest dense marginals use tools/profile_dense_fused.py\n"
+            "# (variant-based, REPS-slope methodology)."
+        )
     for name, secs in rows:
         print(f"{name:34s} {secs * 1e3:9.2f} ms/rep")
     return rows
