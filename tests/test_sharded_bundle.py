@@ -128,3 +128,64 @@ def test_sharded_program_contracts_obs_axis_with_collectives(problem_setup):
     for line in hlo.splitlines():
         if "all-gather" in line and f"{n_pad}," in line:
             raise AssertionError(f"full-observation all-gather found: {line.strip()}")
+
+
+@pytest.fixture(scope="module")
+def dense_setup(problem_setup):
+    """Dense-layout problem built from the same scene (unique pairs hold
+    for a moving board: every (point, camera) pair observed once)."""
+    from caliscope_tpu.ops.bucket import bucket_size
+    from caliscope_tpu.solvers.bundle import make_dense_problem
+
+    problem, cam9, X0 = problem_setup
+    Pb = bucket_size(X0.shape[0] + 1, fine=True)
+    Xb = np.concatenate([X0, np.tile(X0.mean(axis=0), (Pb - X0.shape[0], 1))])
+    dense = make_dense_problem(
+        np.asarray(problem.cam_idx), np.asarray(problem.pt_idx), np.asarray(problem.uv),
+        np.asarray(problem.K0), np.asarray(problem.dist0), np.asarray(problem.fisheye),
+        n_points=Pb,
+    )
+    return dense, cam9, Xb
+
+
+def test_dense_sharded_solve_matches_single_device(dense_setup):
+    """The dense point-minor layout (incl. the per-k mesh staging of the
+    Schur complement) must be numerically equivalent sharded vs single
+    placement — guards the GSPMD layout hazards found in round 4 (merged
+    sharded-axis reshapes silently all-gathered)."""
+    dense, cam9, Xb = dense_setup
+    cfg = BAConfig(max_iter=10, ftol=0.0, gtol=0.0, xtol=0.0, solver="schur")
+    single = lm_solve(dense, cam9, Xb, cfg)
+    sharded = lm_solve(dense, cam9, Xb, cfg, mesh=make_obs_mesh())
+    assert sharded.n_iterations == single.n_iterations
+    np.testing.assert_allclose(sharded.cost_final, single.cost_final, rtol=1e-5)
+    np.testing.assert_allclose(sharded.cam9, single.cam9, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sharded.X, single.X, rtol=1e-4, atol=1e-5)
+
+
+def test_constrained_dense_sharded_matches_single_device(dense_setup):
+    """Constraints exercise the OTHER branch of the dense Schur path (the
+    caller's constraint-folded d_p is transposed rather than recomputed),
+    plus the Schur-preconditioned full-system CG — all under a mesh."""
+    dense, cam9, Xb = dense_setup
+    from dataclasses import replace
+
+    rng = np.random.default_rng(11)
+    P_real = 40  # constrain a handful of real points pairwise
+    pa = rng.integers(0, P_real, size=(6, 1))
+    pb = rng.integers(0, P_real, size=(6, 1))
+    pa_idx = np.pad(pa, ((0, 0), (0, 3))).astype(np.int32)
+    pb_idx = np.pad(pb, ((0, 0), (0, 3))).astype(np.int32)
+    w4 = np.pad(np.ones((6, 1)), ((0, 0), (0, 3)))
+    target = np.linalg.norm(Xb[pa[:, 0]] - Xb[pb[:, 0]], axis=1)
+    constrained = replace(
+        dense,
+        con_pa_idx=pa_idx, con_pa_w=w4, con_pb_idx=pb_idx, con_pb_w=w4,
+        con_target=target.astype(np.asarray(dense.uv).dtype),
+        con_weight=np.full(6, 50.0, np.asarray(dense.uv).dtype),
+    )
+    cfg = BAConfig(max_iter=6, ftol=0.0, gtol=0.0, xtol=0.0, solver="schur")
+    single = lm_solve(constrained, cam9, Xb, cfg)
+    sharded = lm_solve(constrained, cam9, Xb, cfg, mesh=make_obs_mesh())
+    np.testing.assert_allclose(sharded.cost_final, single.cost_final, rtol=1e-5)
+    np.testing.assert_allclose(sharded.cam9, single.cam9, rtol=1e-4, atol=1e-6)
