@@ -9,10 +9,13 @@ charuco_tracker.py:98 delegate to it). Design:
 2. connected_components — label propagation with segmented min-scans along
    rows/columns, fixed iterations. All label state lives on device; no
    contour tracing.
-3. component_candidates — dense rank ids (a cumsum over root pixels, not a
-   scatter) + two fused segment reductions over a pooled grid give exact
-   per-component area/bbox; top-K in the area band gives a STATIC K
-   candidate slots per frame.
+3. component_candidates_sorted — sort the pooled cells by label, then
+   every per-component statistic is a segmented scan over the sorted row
+   (area = run length, bbox = run extremes); top-K in the area band gives
+   a STATIC K candidate slots per frame. Zero scatters. (An earlier
+   rank-keyed scatter formulation was removed in round 4: its dense ids
+   could collide under unconverged labels and merge two components'
+   stats — tests pin the sorted form against a numpy ground truth.)
 4. extract_patches — each candidate takes a contiguous dynamic-slice PxP
    window from an image pyramid level matched to its size, so downstream
    work (corner finding, edge refinement, bit sampling) is dense and
@@ -175,112 +178,6 @@ def pool_mask(mask, pool: int):
     return jax.lax.reduce_window(
         mask[:, : Hp * pool, : Wp * pool], False, jnp.logical_or,
         (1, pool, pool), (1, pool, pool), "VALID",
-    )
-
-
-def component_candidates(mask, labels, k_max: int, min_area: float, max_area_frac: float = 0.25, pool: int = 4, c_max: int = 16384):
-    """Top-K components by area within [min_area, max_area] per frame.
-
-    mask/labels are the FULL-resolution binary mask and its 4-connected
-    labeling (labels = linear pixel indices, background = H*W). Returns
-    (sel_labels (B, K) full-res label values, areas (B, K), bbox (B, K, 4)
-    [x0, y0, x1, y1], valid (B, K)).
-
-    TPU design notes — three things make this fast without breaking
-    component identity (the history: keying pooled stats by the CELL of
-    each label's root pixel collided labels of nearby components; running
-    CCL itself on a pooled mask bridged the 1-px diagonal contacts of
-    chessboard squares; both lost real markers on real footage):
-
-    1. DENSE component ids by rank, not by cell: a pixel is a root iff its
-       label equals its own index; a cumsum over the root indicators (a
-       vectorized scan, not a scatter) ranks every component 0..n-1, and
-       gathering that rank at each pixel's label value yields an exact,
-       collision-free dense id. The segment space shrinks from H*W+1 to a
-       static c_max+1 (components ranked past c_max fall in an overflow
-       bucket — thousands of components in the area band means noise, not
-       markers).
-    2. TWO fused scatters instead of five: segment_max of
-       [x, y, -x, -y, label] gives the exact bbox and a representative
-       label value in one pass (min = -max(-v); the label is constant per
-       segment, so its max IS the value); segment_sum gives the area.
-    3. The scatter INPUT pools `pool`x`pool` cells (stats at cell
-       granularity, identity still exact per point 1), cutting update rows
-       by pool^2. Bboxes are cell-aligned and dilated one cell; boundary
-       cells claimed by an adjacent smaller-label component shave at most
-       one cell off a bbox edge — absorbed by the patch margin.
-    """
-    B, H, W = mask.shape
-    HW = H * W
-    # pooled stats grid: cell label = min over the cell (background HW is
-    # the max value, so min keeps a foreground component's label)
-    Hp, Wp = H // pool, W // pool
-    lab_p = -jax.lax.reduce_window(
-        -labels[:, : Hp * pool, : Wp * pool], -(jnp.int32(HW)), jax.lax.max,
-        (1, pool, pool), (1, pool, pool), "VALID",
-    )
-    fg_p = pool_mask(mask, pool)
-    HWp = Hp * Wp
-    c = float(pool)
-    fg = fg_p.reshape(B, HWp)
-    lab = lab_p.reshape(B, HWp)
-    xs = jnp.tile(jnp.arange(Wp, dtype=jnp.float32) * c, Hp).reshape(1, HWp)
-    ys = jnp.repeat(jnp.arange(Hp, dtype=jnp.float32) * c, Wp).reshape(1, HWp)
-    max_area = max_area_frac * HW
-
-    pix_idx = jnp.arange(HW, dtype=jnp.int32).reshape(1, HW)
-    roots = (labels.reshape(B, HW) == pix_idx) & mask.reshape(B, HW)
-    rank = jnp.cumsum(roots.astype(jnp.int32), axis=1)  # inclusive
-
-    def per_frame(fg_f, lab_f, xs_f, ys_f, rank_f):
-        did = jnp.minimum(rank_f[lab_f] - 1, c_max)  # dense id of each cell's component
-        did = jnp.where(fg_f, did, c_max).astype(jnp.int32)
-        ext_payload = jnp.stack(
-            [
-                jnp.where(fg_f, xs_f, -BIG),
-                jnp.where(fg_f, ys_f, -BIG),
-                jnp.where(fg_f, -xs_f, -BIG),
-                jnp.where(fg_f, -ys_f, -BIG),
-                jnp.where(fg_f, lab_f.astype(jnp.float32), -BIG),
-            ],
-            axis=-1,
-        )
-        ext = jax.ops.segment_max(ext_payload, did, num_segments=c_max + 1)
-        area = jax.ops.segment_sum(fg_f.astype(jnp.float32) * (c * c), did, num_segments=c_max + 1)
-        x_max, y_max = ext[:c_max, 0], ext[:c_max, 1]
-        x_min, y_min = -ext[:c_max, 2], -ext[:c_max, 3]
-        a_s = area[:c_max]
-        bw = x_max - x_min + c
-        bh = y_max - y_min + c
-        fill = a_s / jnp.maximum(bw * bh, 1.0)
-        eligible = (
-            (a_s >= min_area)
-            & (a_s <= max_area)
-            & (fill > 0.15)
-            & (bw >= 4)
-            & (bh >= 4)
-        )
-        score = jnp.where(eligible, a_s, -1.0)
-        top_area, top_seg = jax.lax.top_k(score, k_max)
-        valid = top_area > 0
-        sel = jnp.where(valid, ext[top_seg, 4], HW).astype(jnp.int32)
-        # cell-aligned bbox, dilated one cell each side (conservative cover)
-        bbox = jnp.stack(
-            [
-                jnp.maximum(x_min[top_seg] - (c - 1), 0.0),
-                jnp.maximum(y_min[top_seg] - (c - 1), 0.0),
-                jnp.minimum(x_max[top_seg] + 2 * (c - 1), W - 1.0),
-                jnp.minimum(y_max[top_seg] + 2 * (c - 1), H - 1.0),
-            ],
-            axis=-1,
-        )
-        return sel, top_area, bbox, valid
-
-    return jax.vmap(per_frame)(
-        fg, lab,
-        jnp.broadcast_to(xs, (B, HWp)),
-        jnp.broadcast_to(ys, (B, HWp)),
-        rank,
     )
 
 

@@ -15,7 +15,6 @@ import jax
 from caliscope_tpu.detect.corners import chess_corner_response
 from caliscope_tpu.detect.kernels import (
     adaptive_threshold,
-    component_candidates,
     component_candidates_sorted,
     connected_components,
 )
@@ -90,8 +89,11 @@ class TestPallasCCL:
 
 
 class TestSortedCandidates:
-    def test_matches_scatter_formulation(self, rng):
-        # random rectangles: realistic component shapes with distinct areas
+    def test_matches_numpy_ground_truth(self, rng):
+        """Per-candidate area/bbox vs a direct numpy computation over the
+        pooled label grid — the exactness contract an earlier rank-keyed
+        scatter formulation violated (dense-id collisions under
+        unconverged labels merged two components' stats on real frames)."""
         B, H, W = 2, 144, 256
         img = np.full((B, H, W), 255.0, np.float32)
         for b in range(B):
@@ -101,30 +103,32 @@ class TestSortedCandidates:
                 w, h = (int(v) for v in rng.integers(6, 38, size=2))
                 img[b, y0 : y0 + h, x0 : x0 + w] = 0.0
         binary = adaptive_threshold(img, radius=10)
-        labels = connected_components(binary, n_iters=12)
-        old = component_candidates(binary, labels, 16, 25.0)
-        new = component_candidates_sorted(binary, labels, 16, 25.0)
+        # deliberately UNCONVERGED labels (n_iters=2): exactness must not
+        # depend on full label convergence
+        labels = connected_components(binary, n_iters=2)
+        sel, areas, bbox, valid = component_candidates_sorted(binary, labels, 16, 25.0)
+        binN = np.asarray(binary)
+        labN = np.asarray(labels)
+        pool = 4
+        Hp, Wp = H // pool, W // pool
         for b in range(B):
-            ov = np.asarray(old[3][b])
-            nv = np.asarray(new[3][b])
-            o = {
-                int(l): (float(a), tuple(np.asarray(bx)))
-                for l, a, bx, v in zip(
-                    np.asarray(old[0][b]), np.asarray(old[1][b]), np.asarray(old[2][b]), ov
-                )
-                if v
-            }
-            n = {
-                int(l): (float(a), tuple(np.asarray(bx)))
-                for l, a, bx, v in zip(
-                    np.asarray(new[0][b]), np.asarray(new[1][b]), np.asarray(new[2][b]), nv
-                )
-                if v
-            }
-            assert o.keys() == n.keys()
-            for l in o:
-                assert o[l][0] == n[l][0]
-                np.testing.assert_allclose(o[l][1], n[l][1])
+            lp = labN[b, : Hp * pool, : Wp * pool].reshape(Hp, pool, Wp, pool).min(axis=(1, 3))
+            fp = binN[b, : Hp * pool, : Wp * pool].reshape(Hp, pool, Wp, pool).any(axis=(1, 3))
+            n_valid = 0
+            for k in range(16):
+                if not valid[b][k]:
+                    continue
+                n_valid += 1
+                l = int(sel[b][k])
+                cells = (lp == l) & fp
+                ys, xs = np.nonzero(cells)
+                assert float(areas[b][k]) == cells.sum() * pool * pool
+                want = [
+                    max(xs.min() * pool - 3, 0), max(ys.min() * pool - 3, 0),
+                    min(xs.max() * pool + 6, W - 1), min(ys.max() * pool + 6, H - 1),
+                ]
+                np.testing.assert_allclose(np.asarray(bbox[b][k]), want)
+            assert n_valid >= 3  # some rectangles selected (overlaps merge; fill gate drops concave unions)
 
 
 class TestApproxNMSOnTPU:
