@@ -170,3 +170,80 @@ class TestApproxNMSOnTPU:
             want = {(float(i % W), float(i // W)) for i in order if flat[i] > thr}
             missing = want - got
             assert not missing, f"frame {b}: approx NMS lost corners {sorted(missing)[:5]}"
+
+
+class TestPallasSchur:
+    def _blocks(self, rng, C=8, P=1024):
+        Jc = rng.normal(size=(C, 2, 9, P)).astype(np.float32) * 0.1
+        Jp = rng.normal(size=(C, 2, 3, P)).astype(np.float32) * 0.1
+        w = rng.uniform(0.5, 1.0, size=(C, 2, P)).astype(np.float32)
+        Hi = rng.normal(size=(3, 3, P)).astype(np.float32) * 0.1
+        bp = rng.normal(size=(3, P)).astype(np.float32)
+        return Jc, Jp, w, Hi, bp
+
+    def test_interpreter_matches_reference(self, rng, monkeypatch):
+        from jax.experimental import pallas as pl
+
+        import caliscope_tpu.solvers.pallas_schur as PS
+
+        orig = pl.pallas_call
+        monkeypatch.setattr(pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        Jc, Jp, w, Hi, bp = self._blocks(rng)
+        S1, r1 = PS.schur_s_rhs(Jc, Jp, w, Hi, bp)
+        S2, r2 = PS.schur_s_rhs_reference(Jc, Jp, w, Hi, bp)
+        np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-4, atol=1e-4)
+
+    @tpu_only
+    @pytest.mark.tpu
+    def test_compiled_matches_reference_on_tpu(self, rng):
+        import caliscope_tpu.solvers.pallas_schur as PS
+
+        Jc, Jp, w, Hi, bp = self._blocks(rng, P=4096)
+        S1, r1 = PS.schur_s_rhs(Jc, Jp, w, Hi, bp)
+        S2, r2 = PS.schur_s_rhs_reference(Jc, Jp, w, Hi, bp)
+        np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-3, atol=1e-3)
+
+    @tpu_only
+    @pytest.mark.tpu
+    def test_full_solve_matches_xla_path_on_tpu(self, rng):
+        """The kernel-backed lm_solve trajectory must match the XLA Schur
+        path (observed bit-identical over 12 iterations at canonical scale;
+        asserted here at tight tolerance on a smaller problem)."""
+        import os
+
+        from caliscope_tpu.ops.bucket import bucket_size
+        from caliscope_tpu.solvers.bundle import BAConfig, lm_solve, make_dense_problem
+        from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
+        from caliscope_tpu.synthetic.factories import default_ring_scene
+
+        scene = default_ring_scene(noise_sigma_px=0.5, n_frames=20)
+        ip = scene.image_points_noisy()
+        views = scene.cameras.device_views(posed_only=True)
+        id_to_idx = {int(c): i for i, c in enumerate(views.cam_ids)}
+        cam_idx = np.array([id_to_idx[int(c)] for c in ip.cam_id])
+        pt_idx, keys = ip.point_index()
+        wp = ip.triangulate(scene.cameras)
+        key_map = {tuple(k): i for i, k in enumerate(wp.keys())}
+        X0 = wp.xyz[np.array([key_map[tuple(k)] for k in keys])]
+        Pb = max(bucket_size(X0.shape[0] + 1, fine=True), 512)
+        Xb = np.concatenate([X0, np.tile(X0.mean(axis=0), (Pb - X0.shape[0], 1))])
+        cfg = BAConfig(max_iter=10, ftol=0.0, gtol=0.0, xtol=0.0, solver="schur")
+
+        def solve():
+            problem = make_dense_problem(
+                cam_idx, pt_idx, ip.img_xy, views.K, views.dist, views.fisheye, n_points=Pb
+            )
+            from caliscope_tpu.solvers.bundle import initial_cam9
+
+            return lm_solve(problem, initial_cam9(scene.cameras), Xb, cfg)
+
+        r_kernel = solve()
+        os.environ["CALISCOPE_TPU_NO_PALLAS_SCHUR"] = "1"
+        try:
+            r_xla = solve()
+        finally:
+            del os.environ["CALISCOPE_TPU_NO_PALLAS_SCHUR"]
+        np.testing.assert_allclose(r_kernel.cost_final, r_xla.cost_final, rtol=1e-5)
+        np.testing.assert_allclose(r_kernel.cam9, r_xla.cam9, rtol=1e-4, atol=1e-6)
