@@ -182,23 +182,25 @@ def pool_mask(mask, pool: int):
 
 
 def component_candidates_sorted(mask, labels, k_max: int, min_area: float, max_area_frac: float = 0.25, pool: int = 4):
-    """Top-K components by area within [min_area, max_area] per frame —
-    sort-based formulation, same contract as component_candidates.
+    """Top-K components by area within [min_area, max_area] per frame.
 
-    The scatter formulation (component_candidates) pays three TPU-hostile
-    costs: a FULL-RESOLUTION root cumsum to build dense ids, a per-cell
-    gather of those ids, and two segment reductions that XLA lowers to
-    serialized scatters over c_max segments. This version needs none of
-    them: sort the POOLED cells by raw label value (background H*W sorts
-    last), and every per-component statistic becomes a segmented scan over
-    the sorted row — area is the run length, bbox the run min/max, the
-    representative label the run value itself. Runs replace segments, so
-    there is no id-space cap and no overflow bucket. All ops are sorts,
-    cumulative scans, and top_k — the vectorizing set.
+    A scatter formulation used until round 4 paid three TPU-hostile costs
+    (a full-resolution root cumsum for dense ids, a per-cell gather of
+    them, and two serialized segment scatters) AND had a correctness bug:
+    its rank-keyed dense ids collide under unconverged labels, merging two
+    components' stats. This version needs none of that machinery: sort the
+    POOLED cells by raw label value (background H*W sorts last), and every
+    per-component statistic becomes a segmented scan over the sorted row —
+    area is the run length, bbox the run min/max, the representative label
+    the run value itself. Runs replace segments, so there is no id-space
+    cap and no overflow bucket. All ops are sorts, cumulative scans, and
+    top_k — the vectorizing set.
 
-    Returns (sel_labels (B, K), areas (B, K), bbox (B, K, 4) [x0, y0, x1,
-    y1] cell-aligned + one-cell dilated, valid (B, K)) — bit-compatible with
-    component_candidates up to top-K tie order.
+    mask/labels are the FULL-resolution binary mask and its 4-connected
+    labeling (labels = linear pixel indices, background = H*W). Returns
+    (sel_labels (B, K) full-res label values, areas (B, K) in pixels at
+    pool-cell quantization, bbox (B, K, 4) [x0, y0, x1, y1] cell-aligned
+    and one-cell dilated, valid (B, K)).
     """
     B, H, W = mask.shape
     HW = H * W

@@ -49,7 +49,7 @@ class Colors:
 class Typography:
     """Composed label styles for recurring patterns."""
 
-    SECTION_HEADER = f"color: {Colors.TEXT_MUTED}; font-size: 11px; font-weight: 600; letter-spacing: 0.04em;"
+    SECTION_HEADER = f"color: {Colors.TEXT_MUTED}; font-size: 11px; font-weight: 600;"  # (Qt QSS has no letter-spacing)
     HELPER_TEXT = f"font-style: italic; color: {Colors.TEXT_MUTED};"
     STATUS_OK = f"color: {Colors.SUCCESS};"
     STATUS_ERROR = f"color: {Colors.ERROR};"

@@ -715,6 +715,20 @@ def _inv3x3_pminor(A):
     return rows * inv_det
 
 
+def _damped_A_cc(problem, d_c, lam):
+    """Damped camera block A_cc = d_c + diag(lam * diag(d_c) + frozen-row
+    regularization). ONE definition — the explicit Schur factors, the
+    implicit Schur CG, and the Pallas-assembled path must solve the same
+    damped system."""
+    diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
+    return d_c + jax.vmap(jnp.diag)(lam * diag_c + jnp.where(problem.param_free, 0.0, 1.0))
+
+
+def _pminor_backsub(Hpp_inv_t, bp_corr_t):
+    """dxp = Hpp^-1 bp_corr in point-minor (3, P) layout -> (P, 3)."""
+    return sum(Hpp_inv_t[:, j] * bp_corr_t[j][None, :] for j in range(3)).T
+
+
 def _pminor_hpp_inv(problem, w, Jp, d_p, lam, dt, mesh):
     """Damped inverse point blocks in POINT-MINOR (3, 3, P) layout, shared
     by the explicit and implicit dense Schur paths.
@@ -753,8 +767,7 @@ def _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh=None):
     C, P = problem.n_cameras, g_p.shape[0]
     dt = g_c.dtype
     free_c = problem.param_free.astype(dt)
-    diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
-    A_cc = d_c + jax.vmap(jnp.diag)(lam * diag_c + jnp.where(problem.param_free, 0.0, 1.0))
+    A_cc = _damped_A_cc(problem, d_c, lam)
 
     if isinstance(problem, BADenseProblem):
         # the coupling tensor IS the per-slot product — no segment sum at
@@ -842,8 +855,7 @@ def _schur_apply(S_cho, G, Y, Hpp_inv, free_c, bc, bp, pminor: bool = False):
         bp_corr = bp_t - jnp.stack(
             [dxc.reshape(-1) @ G[:, :, k, :].reshape(n_cp, -1) for k in range(3)]
         )
-        dxp_t = sum(Hpp_inv[:, j] * bp_corr[j][None, :] for j in range(3))  # (3,P)
-        return dxc, dxp_t.T
+        return dxc, _pminor_backsub(Hpp_inv, bp_corr)
     rhs_c = bc - jnp.einsum("cpik,pk->ci", Y, bp)
     dxc = jax.scipy.linalg.cho_solve(S_cho, rhs_c.reshape(-1)).reshape(C, N_CAM_PARAMS)
     dxc = dxc * free_c
@@ -872,7 +884,7 @@ def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, 
     free_c = problem.param_free.astype(dt)
     diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
     diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
-    A_cc = d_c + jax.vmap(jnp.diag)(lam * diag_c + jnp.where(problem.param_free, 0.0, 1.0))
+    A_cc = _damped_A_cc(problem, d_c, lam)
     A_inv = jnp.linalg.inv(A_cc)  # (C,9,9) exact block preconditioner
     P_pts = g_p.shape[0]
 
@@ -959,16 +971,24 @@ def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, 
     return dxc, dxp
 
 
-def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh=None):
+def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh=None, pallas_ok=None):
     """Schur-eliminated solve: exact for the (damped) reprojection system;
     with constraint rows present the Schur solve becomes the preconditioner
     of a short CG on the full system (constraints couple points to points,
     breaking the block-diagonal Hpp — but only as a low-rank-ish correction,
-    so CG converges in a handful of iterations)."""
+    so CG converges in a handful of iterations).
+
+    pallas_ok: whether the fused Pallas Schur assembly may be used. Pass a
+    host-computed bool (lm_solve threads it as a STATIC jit arg so the
+    CALISCOPE_TPU_NO_PALLAS_SCHUR kill switch takes effect on the next
+    call); None decides at trace time (correct, but a flipped env var then
+    needs jax.clear_caches() to bite on already-compiled signatures)."""
     if isinstance(problem, BADenseProblem) and problem.n_constraints == 0:
         from caliscope_tpu.solvers.pallas_schur import pallas_schur_available, schur_s_rhs
 
-        if pallas_schur_available(problem, mesh, problem.n_points):
+        if pallas_ok is None:
+            pallas_ok = pallas_schur_available(problem, mesh, problem.n_points, g_c.dtype)
+        if pallas_ok:
             # Fused Pallas Schur assembly: S and the reduced rhs straight
             # from the blocks, no (C,9,3,P) coupling tensors in HBM (see
             # solvers/pallas_schur.py; ~3.8 -> ~1.5 ms of the iteration).
@@ -978,10 +998,8 @@ def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, 
             Hpp_inv_t = _pminor_hpp_inv(problem, w, Jp, d_p, lam, dt, mesh)
             bp_t = (-g_p).T  # (3,P)
             S_raw, rhs_raw = schur_s_rhs(Jc, Jp, w, Hpp_inv_t, bp_t)
-            diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
-            A_cc = d_c + jax.vmap(jnp.diag)(lam * diag_c + jnp.where(problem.param_free, 0.0, 1.0))
             S = (-S_raw).reshape(C, N_CAM_PARAMS, C, N_CAM_PARAMS)
-            S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(A_cc)
+            S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(_damped_A_cc(problem, d_c, lam))
             S = S.reshape(C * N_CAM_PARAMS, C * N_CAM_PARAMS)
             rhs_c = (-g_c).reshape(-1) - rhs_raw
             dxc = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), rhs_c)
@@ -990,9 +1008,7 @@ def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, 
             # blocks (two lane-wise einsums — cheaper than keeping G)
             tmp = w * jnp.einsum("crip,ci->crp", Jc, dxc)
             gtd = jnp.einsum("crkp,crp->kp", Jp, tmp)  # (3,P)
-            bp_corr = bp_t - gtd
-            dxp_t = sum(Hpp_inv_t[:, j] * bp_corr[j][None, :] for j in range(3))
-            return dxc, dxp_t.T
+            return dxc, _pminor_backsub(Hpp_inv_t, bp_t - gtd)
 
     factors = _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh)
     S_cho, G, Y, Hpp_inv, free_c = factors
@@ -1124,7 +1140,7 @@ class BAResult:
     n_devices: int = 1  # devices the observation axis was sharded over
 
 
-def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, solver_kind, cg_tol, cg_max_iter, init_lambda, mesh=None):
+def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, solver_kind, cg_tol, cg_max_iter, init_lambda, mesh=None, pallas_schur=None):
     n_points = X0.shape[0]
     dt = cam9_0.dtype
     cost0 = _cost_only(problem, cam9_0, X0, loss, f_scale)
@@ -1141,7 +1157,7 @@ def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, 
         if solver_kind == "dense":
             dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam)
         elif solver_kind == "schur":
-            dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
+            dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh, pallas_schur)
         elif solver_kind == "schur_cg":
             dxc, dxp = _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
         else:
@@ -1200,6 +1216,7 @@ _lm_run = partial(
     static_argnames=(
         "loss", "f_scale", "max_iter", "ftol", "xtol", "gtol",
         "solver_kind", "cg_tol", "cg_max_iter", "init_lambda", "mesh",
+        "pallas_schur",
     ),
 )(_lm_run_impl)
 
@@ -1304,6 +1321,15 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
         )
     else:
         cam9_d, X_d, lb_d, ub_d = jax.device_put(param_host)
+    # host-side Pallas-Schur eligibility: part of the jit STATIC key, so
+    # flipping CALISCOPE_TPU_NO_PALLAS_SCHUR takes effect on the next call
+    # instead of silently hitting the cached kernel-path executable
+    if isinstance(problem, BADenseProblem):
+        from caliscope_tpu.solvers.pallas_schur import pallas_schur_available
+
+        pallas_schur = pallas_schur_available(problem, mesh, problem.n_points, np_dtype)
+    else:
+        pallas_schur = False
     opts = dict(
         loss=config.loss,
         f_scale=float(config.f_scale),
@@ -1316,6 +1342,7 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
         cg_max_iter=config.cg_max_iter,
         init_lambda=config.init_lambda,
         mesh=mesh,
+        pallas_schur=pallas_schur,
     )
     if config.bake_problem:
         # cache the baked executable ON the problem instance (lifetime-tied:

@@ -82,8 +82,7 @@ def _s_rhs_kernel(jc_ref, jp_ref, w_ref, hinv_ref, bp_ref, s_ref, rhs_ref, s_acc
         rhs_ref[:] = rhs_acc[:]
 
 
-@jax.jit
-def schur_s_rhs(Jc, Jp, w, Hpp_inv_t, bp_t):
+def _schur_s_rhs_impl(Jc, Jp, w, Hpp_inv_t, bp_t):
     """(S_raw, rhs_raw) with S_raw = sum_p Y_p G_p^T (9C x 9C) and
     rhs_raw = sum_p Y_p bp_p (9C,), from point-minor blocks.
 
@@ -122,6 +121,9 @@ def schur_s_rhs(Jc, Jp, w, Hpp_inv_t, bp_t):
     return s, rhs[:, 0]
 
 
+schur_s_rhs = jax.jit(_schur_s_rhs_impl)
+
+
 def schur_s_rhs_reference(Jc, Jp, w, Hpp_inv_t, bp_t):
     """jnp reference of the kernel's math (used by tests and as the shape
     contract documentation)."""
@@ -144,7 +146,20 @@ def schur_s_rhs_reference(Jc, Jp, w, Hpp_inv_t, bp_t):
     return S, rhs
 
 
-def pallas_schur_available(problem, mesh, P: int) -> bool:
+def pallas_schur_available(problem, mesh, P: int, dtype=jnp.float32) -> bool:
+    """Host-side eligibility for the fused kernel. Callers should compute
+    this OUTSIDE jit and thread it as a static argument (lm_solve does) so
+    the env kill switch participates in the jit cache key.
+
+    Gates: TPU backend; single placement (the kernel has no collective
+    story — the XLA per-k staging shards cleanly); reprojection-only (the
+    constrained path's Schur factors double as a CG preconditioner that
+    needs the explicit tensors); point count tiled by TILE; f32 (the
+    kernel accumulates in f32 — x64 parity runs must keep the XLA path);
+    camera count bounded so the per-tile VMEM footprint (blocks + 6 (9C,
+    TILE) g/y planes + the (9C)^2 accumulator) stays inside the 16 MB
+    budget instead of failing Mosaic compilation where XLA would have
+    worked."""
     import os
 
     if os.environ.get("CALISCOPE_TPU_NO_PALLAS_SCHUR"):
@@ -155,4 +170,6 @@ def pallas_schur_available(problem, mesh, P: int) -> bool:
         and problem.n_constraints == 0
         and P % TILE == 0
         and P >= TILE
+        and problem.n_cameras <= 16
+        and np.dtype(dtype) == np.float32
     )
