@@ -15,10 +15,23 @@ TPU-first:
 
 Precision note: calibration mathematics is dtype-polymorphic. Accuracy-critical
 CPU runs should enable x64 (`JAX_ENABLE_X64=1`); TPU runs use float32 with
-Jacobi column scaling (see solvers/bundle.py).
+Jacobi column scaling (see solvers/bundle.py). On import this package sets
+JAX's default matmul precision to "highest" unless the user already chose one:
+the TPU default (single-pass bfloat16 on the MXU, ~8 mantissa bits) injects
+~0.5 px of noise into metric reprojection — measured on a real 4-camera
+720p session, the same rig + points evaluate to 0.80 px RMSE at "highest"
+vs 1.35 px at the default — while costing nothing measurable on the bundle
+adjustment throughput (the large MXU contractions are a small slice of the
+iteration and 3-pass f32 emulation keeps them MXU-resident). Override with
+JAX_DEFAULT_MATMUL_PRECISION or jax.config before importing.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from caliscope_tpu.cameras import CameraData, CameraArray  # noqa: F401
 from caliscope_tpu.observations import ImagePoints, WorldPoints, STATIC_SYNC_INDEX  # noqa: F401

@@ -211,9 +211,11 @@ class TestPallasSchur:
     @tpu_only
     @pytest.mark.tpu
     def test_full_solve_matches_xla_path_on_tpu(self, rng):
-        """The kernel-backed lm_solve trajectory must match the XLA Schur
-        path (observed bit-identical over 12 iterations at canonical scale;
-        asserted here at tight tolerance on a smaller problem)."""
+        """The kernel-backed lm_solve must reach the same optimum as the
+        XLA Schur path (asserted on converged cost; under the package's
+        f32 matmul-precision default both paths are f32-accurate but
+        accumulate in different orders, so trajectories drift at float
+        roundoff)."""
         import os
 
         from caliscope_tpu.ops.bucket import bucket_size
@@ -261,6 +263,4 @@ class TestPallasSchur:
         # trajectories; the BA problem also has gauge freedom (no pinned
         # camera), so parameter vectors of equivalent optima can differ by
         # a global similarity. The equal-quality assertion is the COST.
-        # (At canonical 141k-obs scale with a fixed 12-iteration protocol
-        # the two paths were observed bit-identical.)
         np.testing.assert_allclose(r_kernel.cost_final, r_xla.cost_final, rtol=5e-3)

@@ -65,7 +65,11 @@ class TestLegacyFormatInterop:
     def test_resolve_beats_committed_rig_on_legacy_extraction(self):
         """Strip extrinsics, re-solve the legacy committed extraction with
         our bootstrap + BA: match-or-beat the committed calibration
-        (validated 2026-08-17: 0.637px ours vs 0.833px committed)."""
+        (validated 2026-08-20 on BOTH x64 CPU and the real TPU chip:
+        0.637px ours vs 0.800px committed — identical to 3 decimals across
+        platforms after the DLT Gauss-Newton polish and the f32 matmul
+        precision default; see ops/triangulate.py and the package
+        __init__ precision note)."""
         from caliscope_tpu.cameras import CameraArray
         from caliscope_tpu.observations import ImagePoints
         from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
