@@ -112,11 +112,14 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
 
     TPU design note: sampling the moving window straight from the frame is
     a random-access gather over a 1 MB+ table per tap — measured 15 ms/frame
-    at 720p/K=256. Instead each corner dynamic-slices ONE small contiguous
-    window around its seed (a block gather the TPU services as row DMAs),
-    computes gradients locally, and iterates entirely inside that window;
-    the estimate can move at most iters * 1.5 px (the clipped step), so the
-    window covers every reachable sample position.
+    at 720p/K=256. Instead each corner reads ONE small contiguous window
+    around its seed, computes gradients locally, and iterates entirely
+    inside that window; the estimate can move at most iters * 1.5 px (the
+    clipped step), so the window covers every reachable sample position.
+    On TPU the window gather itself is a hand-written pipelined-DMA Pallas
+    kernel (extract_corner_windows_pallas, 2.2 ms/stack vs 8 ms for XLA's
+    serialized per-corner dynamic_slices); other backends keep the
+    dynamic_slice vmap. Both paths read identical windows.
     """
     B, H, W = images.shape
     imgs = images.astype(jnp.float32)
@@ -127,14 +130,15 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
     padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
     Hp, Wp = H + 2 * pad, W + 2 * pad
 
+    # window top-left corners, identical for both gather paths
+    xi_all = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32) - WIN // 2 + pad, 0, Wp - WIN)
+    yi_all = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32) - WIN // 2 + pad, 0, Hp - WIN)
+
     sigma2 = 2.0 * (win / 1.5) ** 2
     pxw = (jnp.arange(WIN, dtype=jnp.float32)[None, :] + jnp.zeros((WIN, 1), jnp.float32)).reshape(-1)
     pyw = (jnp.arange(WIN, dtype=jnp.float32)[:, None] + jnp.zeros((1, WIN), jnp.float32)).reshape(-1)
 
-    def one(img_p, c0):
-        xi = jnp.clip(jnp.round(c0[0]).astype(jnp.int32) - WIN // 2 + pad, 0, Wp - WIN)
-        yi = jnp.clip(jnp.round(c0[1]).astype(jnp.int32) - WIN // 2 + pad, 0, Hp - WIN)
-        sub = jax.lax.dynamic_slice(img_p, (yi, xi), (WIN, WIN))
+    def one(sub, c0, xi, yi):
         gx = jnp.zeros_like(sub).at[:, 1:-1].set((sub[:, 2:] - sub[:, :-2]) * 0.5)
         gy = jnp.zeros_like(sub).at[1:-1, :].set((sub[2:, :] - sub[:-2, :]) * 0.5)
         off = jnp.stack([xi, yi]).astype(jnp.float32) - pad  # window -> image coords
@@ -175,10 +179,20 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
         c_local = jax.lax.fori_loop(0, iters, body, c0 - off)
         return c_local + off
 
-    def per_frame(img_p, pts):
-        return jax.vmap(lambda c: one(img_p, c))(pts)
+    if jax.default_backend() == "tpu":
+        # pipelined aligned-slab DMA gather (detect/pallas_kernels.py):
+        # the per-corner dynamic_slice path below costs ~8 ms/16-frame
+        # stack in serialized small HBM reads; the kernel does 2.2 ms
+        from caliscope_tpu.detect.pallas_kernels import extract_corner_windows_pallas
 
-    return jax.vmap(per_frame)(padded, xy)
+        subs = extract_corner_windows_pallas(padded, yi_all, xi_all, WIN)
+    else:
+        def slice_frame(img_p, ys, xs):
+            return jax.vmap(lambda y, x: jax.lax.dynamic_slice(img_p, (y, x), (WIN, WIN)))(ys, xs)
+
+        subs = jax.vmap(slice_frame)(padded, yi_all, xi_all)
+
+    return jax.vmap(jax.vmap(one))(subs, xy, xi_all, yi_all)
 
 
 def detect_x_corners_device(images, k_max: int):

@@ -58,6 +58,37 @@ class TestCornerResponseKernel:
         )
 
 
+class TestCornerWindowExtraction:
+    """extract_corner_windows_pallas must reproduce plain window slicing
+    exactly — it replaces XLA's per-corner dynamic_slice gathers in the
+    subpixel stage (detect/corners.py::refine_corners_subpix)."""
+
+    def _case(self, rng, B=2, Hp=96, Wp=160, K=16, win=28):
+        img = rng.uniform(0, 255, size=(B, Hp, Wp)).astype(np.float32)
+        yi = rng.integers(0, Hp - win, size=(B, K)).astype(np.int32)
+        xi = rng.integers(0, Wp - win, size=(B, K)).astype(np.int32)
+        want = np.stack(
+            [np.stack([img[b, yi[b, k] : yi[b, k] + win, xi[b, k] : xi[b, k] + win] for k in range(K)]) for b in range(B)]
+        )
+        return img, yi, xi, want
+
+    def test_interpreter_exact(self, rng):
+        from caliscope_tpu.detect.pallas_kernels import extract_corner_windows_pallas
+
+        img, yi, xi, want = self._case(rng)
+        got = np.asarray(extract_corner_windows_pallas(jnp.asarray(img), jnp.asarray(yi), jnp.asarray(xi), 28, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    @tpu_only
+    @pytest.mark.tpu
+    def test_compiled_exact_on_tpu(self, rng):
+        from caliscope_tpu.detect.pallas_kernels import extract_corner_windows_pallas
+
+        img, yi, xi, want = self._case(rng, B=4, Hp=748, Wp=1308, K=256)
+        got = np.asarray(extract_corner_windows_pallas(jnp.asarray(img), jnp.asarray(yi), jnp.asarray(xi), 28))
+        np.testing.assert_array_equal(got, want)
+
+
 def _random_masks(rng):
     cases = []
     for shape, p in [((2, 64, 128), 0.4), ((1, 70, 130), 0.55), ((2, 48, 256), 0.3)]:
