@@ -308,14 +308,17 @@ def extract_patches(images, binary, labels, sel_labels, bbox, patch: int, margin
     P*P arbitrary coordinates from the full frame) costs ~45 ms/frame at
     720p/K=64 — random-access gathers defeat the vector units. Instead each
     candidate picks the coarsest pyramid level whose stride lets its
-    (margin-padded) bbox fit in a PxP window and takes ONE vmapped
-    lax.dynamic_slice from a PACKED ATLAS: all pyramid levels stacked
+    (margin-padded) bbox fit in a PxP window and takes ONE window read
+    from a PACKED ATLAS: all pyramid levels stacked
     vertically in a single int32 plane carrying (label << 9 | gray8 << 1 |
-    fg) per pixel. One contiguous (P, P) gather per candidate replaces the
+    fg) per pixel. One contiguous (P, P) window per candidate replaces the
     earlier per-level switch — under vmap a lax.switch executes EVERY
     branch and selects, so the naive form gathered 4 levels x 3 planes =
     12x the bytes (measured 47 ms/stack at 720p x 16; the atlas form is
-    ~6x cheaper). Gray survives packing exactly at level 0 (uint8 source);
+    ~6x cheaper). On TPU the window reads go through the pipelined-DMA
+    Pallas gather (detect/pallas_kernels.py::extract_windows_pallas,
+    round 4: stage 6.0 -> 3.8 ms/stack); elsewhere a vmapped
+    lax.dynamic_slice. Gray survives packing exactly at level 0 (uint8 source);
     pooled levels round the 2x2 mean to the nearest of 256 steps, far
     below the noise floor of coarse-level edge refinement. The pyramid
     levels are 2x mean-pools; labels/binary use nearest/max pooling so
@@ -376,31 +379,42 @@ def extract_patches(images, binary, labels, sel_labels, bbox, patch: int, margin
     hs_a = jnp.asarray(hs, jnp.int32)
     ws_a = jnp.asarray(ws, jnp.int32)
 
-    def per_frame(sl, bb, atlas_f):
-        def per_comp(l, box):
-            x0, y0, x1, y1 = box
-            w = x1 - x0 + 1
-            h = y1 - y0 + 1
-            need = jnp.maximum(w, h) * (1.0 + 2.0 * margin_frac) + 2
-            # smallest level whose PxP window covers `need` pixels
-            lvl = jnp.sum((need > P * (2 ** jnp.arange(n_levels - 1, dtype=jnp.float32))).astype(jnp.int32))
-            lvl = jnp.minimum(lvl, n_levels - 1)
-            cx = (x0 + x1) * 0.5
-            cy = (y0 + y1) * 0.5
-            sf = jnp.exp2(lvl.astype(jnp.float32))
-            yi = jnp.clip(jnp.round(cy / sf).astype(jnp.int32) - P // 2, 0, hs_a[lvl] - P)
-            xi = jnp.clip(jnp.round(cx / sf).astype(jnp.int32) - P // 2, 0, ws_a[lvl] - P)
-            win = jax.lax.dynamic_slice(atlas_f, (offs_a[lvl] + yi, xi), (P, P))
-            g = ((win >> 1) & 0xFF).astype(jnp.float32)
-            m = (win & 1).astype(bool) & ((win >> 9) == l)
-            # level-l pixel i is the mean of image pixels [s*i, s*i+s-1],
-            # whose center sits at s*i + (s-1)/2 in image coordinates
-            origin = jnp.stack([xi, yi]).astype(jnp.float32) * sf + (sf - 1.0) * 0.5
-            return g, m, origin, jnp.full((2,), 1.0, jnp.float32) * sf
+    def seed(box):
+        """Per-candidate scalar math: pyramid level + atlas window corner."""
+        x0, y0, x1, y1 = box
+        w = x1 - x0 + 1
+        h = y1 - y0 + 1
+        need = jnp.maximum(w, h) * (1.0 + 2.0 * margin_frac) + 2
+        # smallest level whose PxP window covers `need` pixels
+        lvl = jnp.sum((need > P * (2 ** jnp.arange(n_levels - 1, dtype=jnp.float32))).astype(jnp.int32))
+        lvl = jnp.minimum(lvl, n_levels - 1)
+        cx = (x0 + x1) * 0.5
+        cy = (y0 + y1) * 0.5
+        sf = jnp.exp2(lvl.astype(jnp.float32))
+        yi = jnp.clip(jnp.round(cy / sf).astype(jnp.int32) - P // 2, 0, hs_a[lvl] - P)
+        xi = jnp.clip(jnp.round(cx / sf).astype(jnp.int32) - P // 2, 0, ws_a[lvl] - P)
+        # level-l pixel i is the mean of image pixels [s*i, s*i+s-1],
+        # whose center sits at s*i + (s-1)/2 in image coordinates
+        origin = jnp.stack([xi, yi]).astype(jnp.float32) * sf + (sf - 1.0) * 0.5
+        return offs_a[lvl] + yi, xi, origin, jnp.full((2,), 1.0, jnp.float32) * sf
 
-        return jax.vmap(per_comp)(sl, bb)
+    yi_a, xi_a, origin, scale = jax.vmap(jax.vmap(seed))(bbox)  # (B, K, ...)
 
-    return jax.vmap(per_frame)(sel_labels, bbox, atlas)
+    if jax.default_backend() == "tpu":
+        # same pipelined-DMA gather kernel as the subpixel stage — the
+        # per-candidate dynamic_slices below are serialized small HBM reads
+        from caliscope_tpu.detect.pallas_kernels import extract_windows_pallas
+
+        wins = extract_windows_pallas(atlas, yi_a, xi_a, P)
+    else:
+        def slice_frame(atlas_f, ys, xs):
+            return jax.vmap(lambda y, x: jax.lax.dynamic_slice(atlas_f, (y, x), (P, P)))(ys, xs)
+
+        wins = jax.vmap(slice_frame)(atlas, yi_a, xi_a)
+
+    g = ((wins >> 1) & 0xFF).astype(jnp.float32)
+    m = (wins & 1).astype(bool) & ((wins >> 9) == sel_labels[:, :, None, None])
+    return g, m, origin, scale
 
 
 def quad_corners_from_mask(mask):

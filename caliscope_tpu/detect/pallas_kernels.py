@@ -118,16 +118,15 @@ def corner_response(images, radius: float = 4.0):
 
 
 # ---------------------------------------------------------------------------
-# Batched corner-window extraction (the subpixel stage's gather)
+# Batched window extraction (subpixel corner windows, marker atlas patches)
 # ---------------------------------------------------------------------------
 
-_WIN_SLAB = 40  # DMA slab rows: 8-aligned, >= win height 28 + max 8-align skew
 _WIN_LANES = 256  # DMA slab lanes: 128-aligned, >= 128 + window width
 
 
-def _extract_windows_kernel(yi_ref, xi_ref, img_hbm, out_ref, scratch, sem, *, win: int, n_slots: int):
-    """Per frame (one grid step): DMA a (40, 256) aligned slab around each
-    seed HBM -> VMEM, rotate the 0-7 row / 0-127 lane residuals away with
+def _extract_windows_kernel(yi_ref, xi_ref, img_hbm, out_ref, scratch, sem, *, win: int, slab: int, n_slots: int):
+    """Per frame (one grid step): DMA an aligned (slab, 256) slab around
+    each seed HBM -> VMEM, rotate the 0-7 row / 0-127 lane residuals away with
     dynamic rolls, store the (win, win) window at its corner slot.
 
     Mosaic constraints that shaped this (found by bisection on a v5 chip):
@@ -147,7 +146,7 @@ def _extract_windows_kernel(yi_ref, xi_ref, img_hbm, out_ref, scratch, sem, *, w
         ya = (y // 8) * 8
         xa = (x // 128) * 128
         pltpu.make_async_copy(
-            img_hbm.at[b, pl.ds(ya, _WIN_SLAB), pl.ds(xa, _WIN_LANES)],
+            img_hbm.at[b, pl.ds(ya, slab), pl.ds(xa, _WIN_LANES)],
             scratch.at[slot],
             sem.at[slot],
         ).start()
@@ -164,13 +163,13 @@ def _extract_windows_kernel(yi_ref, xi_ref, img_hbm, out_ref, scratch, sem, *, w
             start(k + n_slots - 1, nxt)
 
         pltpu.make_async_copy(
-            img_hbm.at[b, pl.ds(0, _WIN_SLAB), pl.ds(0, _WIN_LANES)], scratch.at[slot], sem.at[slot]
+            img_hbm.at[b, pl.ds(0, slab), pl.ds(0, _WIN_LANES)], scratch.at[slot], sem.at[slot]
         ).wait()
         y = yi_ref[0, 0, k]
         x = xi_ref[0, 0, k]
         dy = y - (y // 8) * 8
         dx = x - (x // 128) * 128
-        rolled = pltpu.roll(scratch[slot], _WIN_SLAB - dy, axis=0)
+        rolled = pltpu.roll(scratch[slot], slab - dy, axis=0)
         rolled = pltpu.roll(rolled, _WIN_LANES - dx, axis=1)
         out_ref[0, pl.ds(k, 1)] = rolled[:win, :win][None]
         return c
@@ -178,26 +177,29 @@ def _extract_windows_kernel(yi_ref, xi_ref, img_hbm, out_ref, scratch, sem, *, w
     jax.lax.fori_loop(0, K, body, 0)
 
 
-def extract_corner_windows_pallas(padded, yi, xi, win: int, interpret: bool = False):
-    """Gather one (win, win) float32 window per corner seed from padded
-    frames. padded (B, Hp, Wp) float32; yi/xi (B, K) int32 top-left corners
-    already clipped to [0, Hp - win] x [0, Wp - win]. Returns (B, K, win, win).
+def extract_windows_pallas(frames, yi, xi, win: int, interpret: bool = False):
+    """Gather one (win, win) window per seed from frames (any 4-byte
+    element type). frames (B, Hp, Wp); yi/xi (B, K) int32 top-left corners
+    already clipped to [0, Hp - win] x [0, Wp - win]. Returns (B, K, win, win)
+    in the input dtype.
 
-    Replaces the subpixel stage's 4k per-corner dynamic_slice gathers —
-    small latency-bound HBM reads XLA issues serially — with pipelined
-    aligned-slab DMAs (see _extract_windows_kernel)."""
-    B, Hp, Wp = padded.shape
+    Replaces per-candidate dynamic_slice gathers — small latency-bound HBM
+    reads XLA issues serially (the subpixel corner windows and the marker
+    atlas patches both hit this) — with pipelined aligned-slab DMAs (see
+    _extract_windows_kernel)."""
+    B, Hp, Wp = frames.shape
     K = yi.shape[1]
-    assert win <= _WIN_SLAB - 8 and win <= _WIN_LANES - 128, "slab must cover window + align skew"
+    slab = ((win + 7) // 8) * 8 + 8  # window rows + max 8-align skew
+    assert win <= _WIN_LANES - 128, "lane slab must cover 128-align skew + window"
     # zero-pad so every aligned slab is in bounds; the extra area is rolled
     # out of the window before use, so its contents never matter
-    Hp_al = ((Hp + 7 + (_WIN_SLAB - win)) // 8) * 8
+    Hp_al = ((Hp + 7 + (slab - win)) // 8) * 8
     Wp_al = ((Wp + 127 + (_WIN_LANES - win)) // 128) * 128
-    img = jnp.pad(padded.astype(jnp.float32), ((0, 0), (0, Hp_al - Hp), (0, Wp_al - Wp)))
+    img = jnp.pad(frames, ((0, 0), (0, Hp_al - Hp), (0, Wp_al - Wp)))
     n_slots = 4
     return pl.pallas_call(
-        functools.partial(_extract_windows_kernel, win=win, n_slots=n_slots),
-        out_shape=jax.ShapeDtypeStruct((B, K, win, win), jnp.float32),
+        functools.partial(_extract_windows_kernel, win=win, slab=slab, n_slots=n_slots),
+        out_shape=jax.ShapeDtypeStruct((B, K, win, win), frames.dtype),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -206,9 +208,14 @@ def extract_corner_windows_pallas(padded, yi, xi, win: int, interpret: bool = Fa
         ],
         out_specs=pl.BlockSpec((1, K, win, win), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_slots, _WIN_SLAB, _WIN_LANES), jnp.float32),
+            pltpu.VMEM((n_slots, slab, _WIN_LANES), frames.dtype),
             pltpu.SemaphoreType.DMA((n_slots,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(yi[:, None, :].astype(jnp.int32), xi[:, None, :].astype(jnp.int32), img)
+
+
+def extract_corner_windows_pallas(padded, yi, xi, win: int, interpret: bool = False):
+    """float32 alias kept for the subpixel stage (detect/corners.py)."""
+    return extract_windows_pallas(padded.astype(jnp.float32), yi, xi, win, interpret=interpret)

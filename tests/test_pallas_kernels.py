@@ -79,14 +79,40 @@ class TestCornerWindowExtraction:
         got = np.asarray(extract_corner_windows_pallas(jnp.asarray(img), jnp.asarray(yi), jnp.asarray(xi), 28, interpret=True))
         np.testing.assert_array_equal(got, want)
 
+    def test_interpreter_exact_int32_win64(self, rng):
+        """The marker-atlas patch path uses the same kernel on packed int32
+        at win=64 (a different slab height than the subpix f32/28 case)."""
+        from caliscope_tpu.detect.pallas_kernels import extract_windows_pallas
+
+        B, Hp, Wp, K, win = 2, 200, 300, 8, 64
+        img = rng.integers(0, 2**30, size=(B, Hp, Wp)).astype(np.int32)
+        yi = rng.integers(0, Hp - win, size=(B, K)).astype(np.int32)
+        xi = rng.integers(0, Wp - win, size=(B, K)).astype(np.int32)
+        want = np.stack(
+            [np.stack([img[b, yi[b, k] : yi[b, k] + win, xi[b, k] : xi[b, k] + win] for k in range(K)]) for b in range(B)]
+        )
+        got = np.asarray(extract_windows_pallas(jnp.asarray(img), jnp.asarray(yi), jnp.asarray(xi), win, interpret=True))
+        np.testing.assert_array_equal(got, want)
+        assert got.dtype == np.int32
+
     @tpu_only
     @pytest.mark.tpu
     def test_compiled_exact_on_tpu(self, rng):
-        from caliscope_tpu.detect.pallas_kernels import extract_corner_windows_pallas
+        from caliscope_tpu.detect.pallas_kernels import extract_corner_windows_pallas, extract_windows_pallas
 
         img, yi, xi, want = self._case(rng, B=4, Hp=748, Wp=1308, K=256)
         got = np.asarray(extract_corner_windows_pallas(jnp.asarray(img), jnp.asarray(yi), jnp.asarray(xi), 28))
         np.testing.assert_array_equal(got, want)
+        # int32 atlas-shaped case (win=64, K=64)
+        B, Hp, Wp, K, win = 4, 1016, 1280, 64, 64
+        atlas = np.random.default_rng(1).integers(0, 2**30, size=(B, Hp, Wp)).astype(np.int32)
+        yi2 = np.random.default_rng(2).integers(0, Hp - win, size=(B, K)).astype(np.int32)
+        xi2 = np.random.default_rng(3).integers(0, Wp - win, size=(B, K)).astype(np.int32)
+        want2 = np.stack(
+            [np.stack([atlas[b, yi2[b, k] : yi2[b, k] + win, xi2[b, k] : xi2[b, k] + win] for k in range(K)]) for b in range(B)]
+        )
+        got2 = np.asarray(extract_windows_pallas(jnp.asarray(atlas), jnp.asarray(yi2), jnp.asarray(xi2), win))
+        np.testing.assert_array_equal(got2, want2)
 
 
 def _random_masks(rng):
