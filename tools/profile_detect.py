@@ -59,7 +59,11 @@ def stage_graph(imgs, upto: str, ccl_iters: int = CCL_ITERS):
     if upto == "patches":
         return gray.sum() + mask.sum(dtype=jnp.float32) + origin.sum()
     quads0 = quad_corners_from_mask(mask)
+    if upto == "quads0":
+        return quads0.sum()
     quads = refine_quad_edges(gray, quads0)
+    if upto == "refine":
+        return quads.sum()
     cells = sample_marker_bits(gray, quads, N_BITS)
     return quads.sum() + cells.sum()
 
@@ -109,7 +113,7 @@ def main():
 
     base = time_call(chained, imgs, "threshold", 0)  # round-trip + const
     rows = []
-    for upto in ["threshold", "ccl", "candidates", "patches", "full"]:
+    for upto in ["threshold", "ccl", "candidates", "patches", "quads0", "refine", "full"]:
         t = time_call(chained, imgs, upto, reps)
         ms = (t - base) / reps * 1000.0
         rows.append((upto, ms))
