@@ -205,6 +205,14 @@ def component_candidates_sorted(mask, labels, k_max: int, min_area: float, max_a
     B, H, W = mask.shape
     HW = H * W
     Hp, Wp = H // pool, W // pool
+    # the segmented-extreme offset trick below confines cummax to runs via
+    # v +- spos * M; it needs the largest offset to fit int32, or bboxes
+    # silently wrap on oversized frames (shapes are static: host assert)
+    if Hp * Wp * (max(Wp, Hp) + 1) >= 2**31:
+        raise ValueError(
+            f"component_candidates_sorted: frame {H}x{W} at pool={pool} "
+            f"overflows the int32 segmented-extreme offsets; increase pool"
+        )
     lab_p = -jax.lax.reduce_window(
         -labels[:, : Hp * pool, : Wp * pool], -(jnp.int32(HW)), jax.lax.max,
         (1, pool, pool), (1, pool, pool), "VALID",

@@ -151,7 +151,10 @@ def _extract_windows_kernel(yi_ref, xi_ref, img_hbm, out_ref, scratch, sem, *, w
             sem.at[slot],
         ).start()
 
-    for i in range(n_slots - 1):
+    # K is static (out_ref shape), so the warm-up depth can be clamped at
+    # trace time: with fewer seeds than pipeline slots the extra prefetches
+    # would read yi/xi out of bounds and start DMAs nobody waits on
+    for i in range(min(n_slots - 1, K)):
         start(i, i)
 
     def body(k, c):

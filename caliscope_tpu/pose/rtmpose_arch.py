@@ -268,8 +268,8 @@ class GAU(nn.Module):
         u, v, base = torch.split(uv, [self.e, self.e, self.s], dim=-1)
         q = base * self.gamma[0] + self.beta[0]
         k = base * self.gamma[1] + self.beta[1]
-        n = x.shape[1]
-        qk = torch.bmm(q, k.transpose(1, 2)) / n
+        # published RTMCC scaling: qk / sqrt(s), s = 128 (mmpose RTMCCBlock)
+        qk = torch.bmm(q, k.transpose(1, 2)) / (self.s**0.5)
         attn = torch.relu(qk) ** 2
         out = u * torch.bmm(attn, v)
         return res + self.o(out)
@@ -287,16 +287,14 @@ class GAU(nn.Module):
         k = b.node("Add", [b.node("Mul", [base, b.init(g[1], "gau_gk")])[0], b.init(be[1], "gau_bk")])[0]
         kt = b.node("Transpose", [k], perm=[0, 2, 1])[0]
         qk = b.node("MatMul", [q, kt])[0]
-        n_tok = b.init(np.float32(self._n_tokens), "gau_n")
-        qk = b.node("Div", [qk, n_tok])[0]
+        sqrt_s = b.init(np.float32(self.s**0.5), "gau_sqrt_s")
+        qk = b.node("Div", [qk, sqrt_s])[0]
         attn = b.node("Relu", [qk])[0]
         attn = b.node("Mul", [attn, attn])[0]
         av = b.node("MatMul", [attn, v])[0]
         out = b.node("Mul", [u, av])[0]
         out = self.o.export_onnx(b, out)
         return b.node("Add", [res, out])[0]
-
-    _n_tokens: int = 1  # set by the head (token count is static per model)
 
 
 class RTMCCHead(nn.Module):
@@ -313,7 +311,6 @@ class RTMCCHead(nn.Module):
         self.mlp_norm = ScaleNorm(self.flat)
         self.mlp = TokenLinear(self.flat, embed, bias=False)
         self.gau = GAU(embed)
-        self.gau._n_tokens = n_keypoints
         self.cls_x = TokenLinear(embed, int(iw * simcc_ratio), bias=False)
         self.cls_y = TokenLinear(embed, int(ih * simcc_ratio), bias=False)
 

@@ -989,15 +989,16 @@ def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, 
         if pallas_ok is None:
             pallas_ok = pallas_schur_available(problem, mesh, problem.n_points, g_c.dtype)
         if pallas_ok:
-            # Fused Pallas Schur assembly: S and the reduced rhs straight
-            # from the blocks, no (C,9,3,P) coupling tensors in HBM (see
-            # solvers/pallas_schur.py; ~3.8 -> ~1.5 ms of the iteration).
+            # Fused Pallas Schur assembly: S, the reduced rhs, AND the
+            # damped point-block inverses straight from the blocks — no
+            # (C,9,3,P) coupling tensors in HBM and no XLA-side Hpp pass
+            # (which alone measured ~0.9 ms of relayout cost; see
+            # solvers/pallas_schur.py; Schur marginal ~3.8 -> ~0.3 ms).
             C = problem.n_cameras
             dt = g_c.dtype
             free_c = problem.param_free.astype(dt)
-            Hpp_inv_t = _pminor_hpp_inv(problem, w, Jp, d_p, lam, dt, mesh)
             bp_t = (-g_p).T  # (3,P)
-            S_raw, rhs_raw = schur_s_rhs(Jc, Jp, w, Hpp_inv_t, bp_t)
+            S_raw, rhs_raw, Hpp_inv_t = schur_s_rhs(Jc, Jp, w, bp_t, lam)
             S = (-S_raw).reshape(C, N_CAM_PARAMS, C, N_CAM_PARAMS)
             S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(_damped_A_cc(problem, d_c, lam))
             S = S.reshape(C * N_CAM_PARAMS, C * N_CAM_PARAMS)
@@ -1123,6 +1124,29 @@ def _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, tol, max_it
     return dxc, x[1]
 
 
+def _predicted_decrease(problem, w, Jp, d_c, d_p, g_c, g_p, dxc, dxp, lam):
+    """Damped-model predicted cost decrease for the LM gain ratio:
+    0.5 * (lam * dx^T D dx - g^T dx) with D = diag(J^T W J) floored.
+
+    The generic path extracts diag(d_p) from the (P,3,3) point blocks —
+    vmap(jnp.diag) lowers to a gather that measured ~1.65 ms/iter at the
+    canonical scale, more than the whole assembly+solve. Dense
+    reprojection-only problems instead recompute the diagonal lane-wise
+    from the blocks ((3,P) einsum that fuses with the step's other Jp
+    consumers, ~free). Dropping the pinning/floor terms there is exact:
+    unobserved points have dxp == 0, and observed diagonals sit far above
+    the 1e-12 floor."""
+    diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
+    cam_term = jnp.sum(dxc * diag_c * dxc)
+    if isinstance(problem, BADenseProblem) and problem.n_constraints == 0:
+        diag_pt = jnp.einsum("crip,crp->ip", Jp * Jp, w)  # (3,P)
+        pt_term = jnp.sum(dxp.T**2 * diag_pt)
+    else:
+        diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
+        pt_term = jnp.sum(dxp * diag_p * dxp)
+    return 0.5 * (lam * (cam_term + pt_term) - (jnp.sum(g_c * dxc) + jnp.sum(g_p * dxp)))
+
+
 # ---------------------------------------------------------------------------
 # The LM driver
 # ---------------------------------------------------------------------------
@@ -1131,7 +1155,12 @@ def _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, tol, max_it
 @dataclass
 class BAResult:
     cam9: np.ndarray  # (C,9)
-    X: np.ndarray  # (P,3)
+    # (P,3) optimized world points. On a single placement this is a
+    # DEVICE-BACKED jax.Array: the pipeline chains BA -> filter -> BA with
+    # the points living on the device throughout, and a 0.5 MB host fetch
+    # per solve costs more than several LM iterations through a remote
+    # tunnel. np.asarray(result.X) fetches when host values are needed.
+    X: np.ndarray
     cost_initial: float
     cost_final: float
     n_iterations: int
@@ -1167,12 +1196,7 @@ def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, 
         cost_new = _cost_only(problem, cam9_new, X_new, loss, f_scale)
 
         # Gain ratio vs the damped-model predicted decrease
-        diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
-        diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
-        pred = 0.5 * (
-            lam * (jnp.sum(dxc * diag_c * dxc) + jnp.sum(dxp * diag_p * dxp))
-            - (jnp.sum(g_c * dxc) + jnp.sum(g_p * dxp))
-        )
+        pred = _predicted_decrease(problem, w, Jp, d_c, d_p, g_c, g_p, dxc, dxp, lam)
         rho = (cost - cost_new) / jnp.maximum(pred, 1e-30)
         accept = cost_new < cost
 
@@ -1208,7 +1232,9 @@ def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, 
     lam0 = jnp.asarray(init_lambda, dt)
     state0 = (cam9_0, X0, lam0, cost0, jnp.array(0), jnp.array(False), jnp.asarray(jnp.inf, dt))
     cam9, X, _lam, cost, it, done, gnorm = jax.lax.while_loop(cond, step, state0)
-    return cam9, X, cost0, cost, it, done, gnorm
+    # pack the small outputs INSIDE the solve program: a separate packing
+    # dispatch costs ~15 ms of enqueue latency through a tunneled device
+    return _pack_result(cam9, cost0, cost, it, done, gnorm), X
 
 
 _lm_run = partial(
@@ -1356,33 +1382,9 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
         if runner is None:
             runner = jax.jit(lambda c, x, lo, hi: _lm_run_impl(problem, c, x, lo, hi, **opts))
             cache[cache_key] = runner
-        cam9, X, cost0, cost, it, done, gnorm = runner(cam9_d, X_d, lb_d, ub_d)
+        packed, X = runner(cam9_d, X_d, lb_d, ub_d)
     else:
-        cam9, X, cost0, cost, it, done, gnorm = _lm_run(problem, cam9_d, X_d, lb_d, ub_d, **opts)
-
-    fully_local = all(
-        not isinstance(a, jax.Array) or a.is_fully_addressable for a in (cam9, X)
-    )
-    if fully_local:
-        # ONE device->host transfer for the whole result: each separate
-        # fetch pays a flat round trip (~27 ms through the dev tunnel), and
-        # the naive per-field readback (7 fetches) cost more than a dozen
-        # LM iterations of actual solving.
-        flat = np.asarray(_pack_result(cam9, X, cost0, cost, it, done, gnorm))
-        nc = cam9.size
-        cam9_h = flat[:nc].reshape(cam9.shape)
-        X_h = flat[nc : nc + X.size].reshape(X.shape)
-        cost0_f, cost_f, it_f, done_f, gnorm_f = flat[nc + X.size :]
-        return BAResult(
-            cam9=cam9_h,
-            X=X_h[:P_orig],
-            cost_initial=float(cost0_f),
-            cost_final=float(cost_f),
-            n_iterations=int(it_f),
-            converged=bool(done_f),
-            gradient_norm=float(gnorm_f),
-            n_devices=int(mesh.size) if mesh is not None else 1,
-        )
+        packed, X = _lm_run(problem, cam9_d, X_d, lb_d, ub_d, **opts)
 
     def to_host(a):
         # Multi-process meshes: point-axis outputs stay sharded across
@@ -1393,21 +1395,37 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
             return np.asarray(multihost_utils.process_allgather(a, tiled=True))
         return np.asarray(a)
 
+    # ONE SMALL device->host transfer for the whole result: each separate
+    # fetch pays a flat round trip (~27 ms through the dev tunnel), and the
+    # naive per-field readback (7 fetches) cost more than a dozen LM
+    # iterations of actual solving. On a single placement the (P,3) points
+    # are NOT fetched at all — they stay on the device (see BAResult.X);
+    # multi-process meshes gather them (sharded outputs can't outlive the
+    # mesh contextually).
+    flat = to_host(packed)
+    nc = N_CAM_PARAMS * C
+    cam9_h = flat[:nc].reshape(C, N_CAM_PARAMS)
+    cost0_f, cost_f, it_f, done_f, gnorm_f = flat[nc:]
+    if isinstance(X, jax.Array) and not X.is_fully_addressable:
+        X_out = to_host(X)[:P_orig]
+    else:
+        X_out = X[:P_orig] if P_orig != X.shape[0] else X
     return BAResult(
-        cam9=to_host(cam9),
-        X=to_host(X)[:P_orig],
-        cost_initial=float(cost0),
-        cost_final=float(cost),
-        n_iterations=int(it),
-        converged=bool(done),
-        gradient_norm=float(gnorm),
+        cam9=cam9_h,
+        X=X_out,
+        cost_initial=float(cost0_f),
+        cost_final=float(cost_f),
+        n_iterations=int(it_f),
+        converged=bool(done_f),
+        gradient_norm=float(gnorm_f),
         n_devices=int(mesh.size) if mesh is not None else 1,
     )
 
 
 @jax.jit
-def _pack_result(cam9, X, cost0, cost, it, done, gnorm):
-    """Flatten the solve outputs into one buffer for a single readback."""
+def _pack_result(cam9, cost0, cost, it, done, gnorm):
+    """Flatten the small solve outputs into one buffer for a single
+    readback (the world points stay on device — see BAResult.X)."""
     dt = cam9.dtype
     scalars = jnp.stack(
         [
@@ -1418,7 +1436,7 @@ def _pack_result(cam9, X, cost0, cost, it, done, gnorm):
             jnp.asarray(gnorm, dt),
         ]
     )
-    return jnp.concatenate([cam9.reshape(-1), X.reshape(-1), scalars])
+    return jnp.concatenate([cam9.reshape(-1), scalars])
 
 
 @partial(jax.jit, static_argnames=("loss", "f_scale", "use_dense", "solver", "cg_tol", "cg_max_iter", "mesh"))
@@ -1466,12 +1484,7 @@ def lm_iteration(
     cam9_new, X_new = cam9 + dxc, X + dxp
     cost_new = _cost_only(problem, cam9_new, X_new, loss, f_scale)
     accept = cost_new < cost
-    diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
-    diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
-    pred = 0.5 * (
-        lam * (jnp.sum(dxc * diag_c * dxc) + jnp.sum(dxp * diag_p * dxp))
-        - (jnp.sum(g_c * dxc) + jnp.sum(g_p * dxp))
-    )
+    pred = _predicted_decrease(problem, w, Jp, d_c, d_p, g_c, g_p, dxc, dxp, lam)
     rho = (cost - cost_new) / jnp.maximum(pred, 1e-30)
     lam_new = jnp.where(accept, lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3), lam * 4.0)
     cam9_out = jnp.where(accept, cam9_new, cam9)

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 512
 
 
-def _s_rhs_kernel(jc_ref, jp_ref, w_ref, hinv_ref, bp_ref, s_ref, rhs_ref, s_acc, rhs_acc):
+def _s_rhs_kernel(lam_ref, jc_ref, jp_ref, w_ref, bp_ref, s_ref, rhs_ref, hinv_ref, s_acc, rhs_acc):
     t = pl.program_id(0)
     C = jc_ref.shape[0]
     n_cp = C * 9
@@ -51,13 +51,60 @@ def _s_rhs_kernel(jc_ref, jp_ref, w_ref, hinv_ref, bp_ref, s_ref, rhs_ref, s_acc
     jc = jc_ref[:]  # (C,2,9,T)
     jp = jp_ref[:]  # (C,2,3,T)
     w = w_ref[:]  # (C,2,T)
-    hinv = hinv_ref[:]  # (3,3,T)
     bp = bp_ref[:]  # (3,T)
+    lam = lam_ref[0]
 
     # NOTE: inline-None indexing mixed with ints (x[:, 0, k, None, :])
     # lowers through a >2D gather Mosaic rejects; slice first, then expand
     w0 = w[:, 0, :][:, None, :]  # (C,1,T)
     w1 = w[:, 1, :][:, None, :]
+
+    # Damped inverse point blocks IN-KERNEL (round 5): the XLA-side
+    # _pminor_hpp_inv pass cost ~0.9 ms of the 1.7 ms Schur marginal (an
+    # einsum relayout XLA stages poorly); the kernel already holds Jp and w
+    # in VMEM, so Hpp, damping, pinning, and the closed-form symmetric
+    # inverse are a few extra lane-wise ops per tile. Math must mirror
+    # bundle._pminor_hpp_inv exactly (pin zero-trace blocks with I, floor
+    # diagonals at 1e-12, Hpp = d + lam*diag*I + 1e-12*I).
+    jp0 = jp[:, 0, :, :]  # (C,3,T)
+    jp1 = jp[:, 1, :, :]
+    up0 = jp0 * w0  # (C,3,T)
+    up1 = jp1 * w1
+
+    def dsum(i, j):
+        # reduce over the camera axis with unrolled adds: Mosaic rejects
+        # vector.multi_reduction over the offset layouts these slices carry
+        t = up0[:, i, :] * jp0[:, j, :] + up1[:, i, :] * jp1[:, j, :]  # (C,T)
+        acc = t[0]
+        for c in range(1, C):
+            acc = acc + t[c]
+        return acc  # (T,)
+
+    d00, d01, d02 = dsum(0, 0), dsum(0, 1), dsum(0, 2)
+    d11, d12, d22 = dsum(1, 1), dsum(1, 2), dsum(2, 2)
+    pin = jnp.where(d00 + d11 + d22 == 0.0, 1.0, 0.0)
+    d00 = d00 + pin
+    d11 = d11 + pin
+    d22 = d22 + pin
+    h00 = d00 + lam * jnp.maximum(d00, 1e-12) + 1e-12
+    h11 = d11 + lam * jnp.maximum(d11, 1e-12) + 1e-12
+    h22 = d22 + lam * jnp.maximum(d22, 1e-12) + 1e-12
+    c00 = h11 * h22 - d12 * d12
+    c01 = d02 * d12 - d01 * h22
+    c02 = d01 * d12 - d02 * h11
+    c11 = h00 * h22 - d02 * d02
+    c12 = d01 * d02 - h00 * d12
+    c22 = h00 * h11 - d01 * d01
+    inv_det = 1.0 / (h00 * c00 + d01 * c01 + d02 * c02)
+    hinv = [
+        [c00 * inv_det, c01 * inv_det, c02 * inv_det],
+        [c01 * inv_det, c11 * inv_det, c12 * inv_det],
+        [c02 * inv_det, c12 * inv_det, c22 * inv_det],
+    ]
+    for i in range(3):
+        for j in range(3):
+            hinv_ref[i, j, :] = hinv[i][j]
+
     u0 = jc[:, 0, :, :] * w0  # (C,9,T)
     u1 = jc[:, 1, :, :] * w1
     # G_k = sum_r U[:, r, :, :] * Jp[:, r, k, :]  -> reshaped (9C, T)
@@ -65,7 +112,7 @@ def _s_rhs_kernel(jc_ref, jp_ref, w_ref, hinv_ref, bp_ref, s_ref, rhs_ref, s_acc
         (u0 * jp[:, 0, k, :][:, None, :] + u1 * jp[:, 1, k, :][:, None, :]).reshape(n_cp, T)
         for k in range(3)
     ]
-    y = [sum(g[j] * hinv[j, k][None, :] for j in range(3)) for k in range(3)]
+    y = [sum(g[j] * hinv[j][k][None, :] for j in range(3)) for k in range(3)]
     s = s_acc[:]
     rhs = rhs_acc[:]
     for k in range(3):
@@ -82,11 +129,13 @@ def _s_rhs_kernel(jc_ref, jp_ref, w_ref, hinv_ref, bp_ref, s_ref, rhs_ref, s_acc
         rhs_ref[:] = rhs_acc[:]
 
 
-def _schur_s_rhs_impl(Jc, Jp, w, Hpp_inv_t, bp_t):
-    """(S_raw, rhs_raw) with S_raw = sum_p Y_p G_p^T (9C x 9C) and
-    rhs_raw = sum_p Y_p bp_p (9C,), from point-minor blocks.
+def _schur_s_rhs_impl(Jc, Jp, w, bp_t, lam):
+    """(S_raw, rhs_raw, Hpp_inv_t) with S_raw = sum_p Y_p G_p^T (9C x 9C),
+    rhs_raw = sum_p Y_p bp_p (9C,), and Hpp_inv_t (3,3,P) the damped inverse
+    point blocks (computed in-kernel; callers reuse it for the
+    back-substitution), from point-minor blocks.
 
-    Jc (C,2,9,P), Jp (C,2,3,P), w (C,2,P), Hpp_inv_t (3,3,P), bp_t (3,P).
+    Jc (C,2,9,P), Jp (C,2,3,P), w (C,2,P), bp_t (3,P), lam scalar damping.
     P must be a multiple of TILE (the dense bucketing guarantees it at
     production scales; callers fall back to XLA otherwise).
     """
@@ -94,39 +143,68 @@ def _schur_s_rhs_impl(Jc, Jp, w, Hpp_inv_t, bp_t):
     P = Jc.shape[3]
     n_cp = C * 9
     grid = P // TILE
-    s, rhs = pl.pallas_call(
+    s, rhs, hinv = pl.pallas_call(
         _s_rhs_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((n_cp, n_cp), jnp.float32),
             jax.ShapeDtypeStruct((n_cp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3, P), jnp.float32),
         ),
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((C, 2, 9, TILE), lambda t: (0, 0, 0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 2, 3, TILE), lambda t: (0, 0, 0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 2, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((n_cp, n_cp), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_cp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((n_cp, n_cp), jnp.float32),
             pltpu.VMEM((n_cp, 1), jnp.float32),
         ],
-    )(Jc.astype(jnp.float32), Jp.astype(jnp.float32), w.astype(jnp.float32),
-      Hpp_inv_t.astype(jnp.float32), bp_t.astype(jnp.float32))
-    return s, rhs[:, 0]
+    )(jnp.asarray(lam, jnp.float32).reshape(1), Jc.astype(jnp.float32),
+      Jp.astype(jnp.float32), w.astype(jnp.float32), bp_t.astype(jnp.float32))
+    return s, rhs[:, 0], hinv
 
 
 schur_s_rhs = jax.jit(_schur_s_rhs_impl)
 
 
-def schur_s_rhs_reference(Jc, Jp, w, Hpp_inv_t, bp_t):
+def reference_hpp_inv(Jp, w, lam):
+    """jnp reference of the kernel's in-tile damped point-block inverse
+    (identical math to bundle._pminor_hpp_inv's reprojection-only branch)."""
+    Up = Jp * w[:, :, None, :]
+    d_p_t = jnp.einsum("crip,crjp->ijp", Up, Jp)  # (3,3,P)
+    pinned = (d_p_t[0, 0] + d_p_t[1, 1] + d_p_t[2, 2]) == 0
+    d_p_t = d_p_t + pinned[None, None, :] * jnp.eye(3, dtype=d_p_t.dtype)[:, :, None]
+    diag_t = jnp.maximum(jnp.stack([d_p_t[0, 0], d_p_t[1, 1], d_p_t[2, 2]]), 1e-12)
+    eye_t = jnp.eye(3, dtype=d_p_t.dtype)[:, :, None]
+    Hpp_t = d_p_t + lam * diag_t[:, None, :] * eye_t + 1e-12 * eye_t
+    a, b, c = Hpp_t[0, 0], Hpp_t[0, 1], Hpp_t[0, 2]
+    d, e = Hpp_t[1, 1], Hpp_t[1, 2]
+    f = Hpp_t[2, 2]
+    c00 = d * f - e * e
+    c01 = c * e - b * f
+    c02 = b * e - c * d
+    c11 = a * f - c * c
+    c12 = b * c - a * e
+    c22 = a * d - b * b
+    inv_det = 1.0 / (a * c00 + b * c01 + c * c02)
+    rows = jnp.stack(
+        [jnp.stack([c00, c01, c02]), jnp.stack([c01, c11, c12]), jnp.stack([c02, c12, c22])]
+    )
+    return rows * inv_det
+
+
+def schur_s_rhs_reference(Jc, Jp, w, bp_t, lam):
     """jnp reference of the kernel's math (used by tests and as the shape
     contract documentation)."""
+    Hpp_inv_t = reference_hpp_inv(Jp, w, lam)
     U = Jc * w[:, :, None, :]
     G = jnp.einsum("crip,crkp->cikp", U, Jp)
     Y = jnp.stack(
@@ -143,7 +221,7 @@ def schur_s_rhs_reference(Jc, Jp, w, Hpp_inv_t, bp_t):
         for k in range(3)
     )
     rhs = sum(Y[:, :, k, :].reshape(n_cp, -1) @ bp_t[k] for k in range(3))
-    return S, rhs
+    return S, rhs, Hpp_inv_t
 
 
 def pallas_schur_available(problem, mesh, P: int, dtype=jnp.float32) -> bool:

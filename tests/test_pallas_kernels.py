@@ -231,13 +231,14 @@ class TestApproxNMSOnTPU:
 
 
 class TestPallasSchur:
+    LAM = 1e-3
+
     def _blocks(self, rng, C=8, P=1024):
         Jc = rng.normal(size=(C, 2, 9, P)).astype(np.float32) * 0.1
         Jp = rng.normal(size=(C, 2, 3, P)).astype(np.float32) * 0.1
         w = rng.uniform(0.5, 1.0, size=(C, 2, P)).astype(np.float32)
-        Hi = rng.normal(size=(3, 3, P)).astype(np.float32) * 0.1
         bp = rng.normal(size=(3, P)).astype(np.float32)
-        return Jc, Jp, w, Hi, bp
+        return Jc, Jp, w, bp
 
     def test_interpreter_matches_reference(self, rng, monkeypatch):
         from jax.experimental import pallas as pl
@@ -246,24 +247,50 @@ class TestPallasSchur:
 
         orig = pl.pallas_call
         monkeypatch.setattr(pl, "pallas_call", lambda *a, **k: orig(*a, **{**k, "interpret": True}))
-        Jc, Jp, w, Hi, bp = self._blocks(rng)
+        Jc, Jp, w, bp = self._blocks(rng)
         # the UNJITTED impl: the patch applies eagerly and nothing leaks
         # into (or is hidden by) the process-wide jit cache
-        S1, r1 = PS._schur_s_rhs_impl(jnp.asarray(Jc), jnp.asarray(Jp), jnp.asarray(w), jnp.asarray(Hi), jnp.asarray(bp))
-        S2, r2 = PS.schur_s_rhs_reference(Jc, Jp, w, Hi, bp)
+        S1, r1, H1 = PS._schur_s_rhs_impl(
+            jnp.asarray(Jc), jnp.asarray(Jp), jnp.asarray(w), jnp.asarray(bp), self.LAM
+        )
+        S2, r2, H2 = PS.schur_s_rhs_reference(Jc, Jp, w, bp, self.LAM)
         np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), rtol=1e-4, atol=1e-4)
+
+    def test_hpp_inv_matches_bundle_helper(self, rng):
+        """The kernel's in-tile damped inverse must equal the XLA fallback
+        (_pminor_hpp_inv) bit-for-bit in MATH (same pinning/damping/floors),
+        or the kernel and XLA Schur paths would solve different systems."""
+        from caliscope_tpu.solvers import bundle as B
+        from caliscope_tpu.solvers.pallas_schur import reference_hpp_inv
+
+        Jc, Jp, w, bp = self._blocks(rng, P=256)
+        # zero out one point column to exercise the pinning branch
+        w[:, :, 7] = 0.0
+        Jp[:, :, :, 7] = 0.0
+
+        class _P:
+            n_constraints = 0
+
+        got = reference_hpp_inv(jnp.asarray(Jp), jnp.asarray(w), self.LAM)
+        want = B._pminor_hpp_inv(
+            _P(), jnp.asarray(w), jnp.asarray(Jp), None, jnp.asarray(self.LAM, jnp.float32),
+            jnp.float32, None,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7)
 
     @tpu_only
     @pytest.mark.tpu
     def test_compiled_matches_reference_on_tpu(self, rng):
         import caliscope_tpu.solvers.pallas_schur as PS
 
-        Jc, Jp, w, Hi, bp = self._blocks(rng, P=4096)
-        S1, r1 = PS.schur_s_rhs(Jc, Jp, w, Hi, bp)
-        S2, r2 = PS.schur_s_rhs_reference(Jc, Jp, w, Hi, bp)
+        Jc, Jp, w, bp = self._blocks(rng, P=4096)
+        S1, r1, H1 = PS.schur_s_rhs(Jc, Jp, w, bp, self.LAM)
+        S2, r2, H2 = PS.schur_s_rhs_reference(Jc, Jp, w, bp, self.LAM)
         np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), rtol=1e-3, atol=1e-3)
 
     @tpu_only
     @pytest.mark.tpu
