@@ -106,6 +106,125 @@ def observation_jacobian_blocks(cam9_all, X_all, cam_idx, pt_idx, uv, K0_all, di
     )
 
 
+def _obs_minor_lane_math(cam9_all, X_all, cam_idx, pt_idx, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye: bool):
+    """Shared lane-wise setup for the obs-minor sparse builders.
+
+    Returns (xc [3 x (N,)], H, per-obs scalars) where H maps the six
+    per-observation unknowns (xc0, xc1, xc2, s, k1, k2) to the normalized
+    PROJECTION (2 lanes) — residual subtraction happens in the callers.
+
+    Why this exists (round 5, measured on a v5e): the row-major sparse
+    builder (vmap of jacfwd over (N, ...) rows) costs ~29 ms/iter at the
+    canonical scale because every (N, k<128)-shaped intermediate is
+    physically tiled (8, 128) over its MINOR dims — a (N, 2, 9) tensor
+    occupies ~57x its logical bytes and every op pays that traffic. Here
+    ALL per-observation math runs on flat (N,) lanes (full tile
+    occupancy), the camera nonlinearity (rodrigues + its tangents) is
+    computed per CAMERA ((C,) tables) and gathered per lane, and the
+    Jacobian blocks come from jax.linearize of H against the 6 basis
+    tangents plus a hand-unrolled chain rule through R and dR/drvec.
+    Identical math to observation_jacobian_blocks (same z-clamp, same
+    effective-intrinsics substitution) at f32 roundoff."""
+    from caliscope_tpu.ops.lie import so3_exp
+
+    R_all = so3_exp(cam9_all[:, 0:3])  # (C,3,3)
+    dR_all = jax.vmap(jax.jacfwd(so3_exp))(cam9_all[:, 0:3])  # (C,3,3,3)
+    ci, pi = cam_idx, pt_idx
+    Xl = [X_all[:, j][pi] for j in range(3)]  # 3 x (N,)
+    Rg = [[R_all[:, i, j][ci] for j in range(3)] for i in range(3)]
+    xc = [sum(Rg[i][j] * Xl[j] for j in range(3)) + cam9_all[:, 3 + i][ci] for i in range(3)]
+
+    fx0 = K0_all[:, 0, 0][ci]
+    fy0 = K0_all[:, 1, 1][ci]
+    cxs = K0_all[:, 0, 2][ci]
+    cys = K0_all[:, 1, 2][ci]
+    d2 = dist0_all[:, 2][ci]
+    d3 = dist0_all[:, 3][ci]
+    d4 = dist0_all[:, 4][ci]
+    ifx = inv_fx_all[ci]
+    s = cam9_all[:, 6][ci]
+    k1 = cam9_all[:, 7][ci]
+    k2 = cam9_all[:, 8][ci]
+    fe = fisheye_all[ci] if any_fisheye else None
+
+    def H(x0_, x1_, x2_, s_, k1_, k2_):
+        # identical clamp to project_points (sign-preserving min depth)
+        z = jnp.where(jnp.abs(x2_) < 1e-6, jnp.where(x2_ < 0, -1e-6, 1e-6), x2_)
+        x = x0_ / z
+        y = x1_ / z
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1_ + r2 * (k2_ + r2 * d4))
+        xd = x * radial + 2.0 * d2 * x * y + d3 * (r2 + 2.0 * x * x)
+        yd = y * radial + d2 * (r2 + 2.0 * y * y) + 2.0 * d3 * x * y
+        if any_fisheye:
+            # equidistant model on the same effective coefficients
+            # ([k1, k2, dist0_2, dist0_3] — matches project_with_block)
+            rn = jnp.sqrt(jnp.maximum(r2, 1e-18))
+            theta = jnp.arctan(rn)
+            t2 = theta * theta
+            theta_d = theta * (1.0 + t2 * (k1_ + t2 * (k2_ + t2 * (d2 + t2 * d3))))
+            sc = theta_d / rn
+            xd = jnp.where(fe, x * sc, xd)
+            yd = jnp.where(fe, y * sc, yd)
+        return xd * fx0 * s_ + cxs, yd * fy0 * s_ + cys
+
+    return xc, H, (s, k1, k2, ifx, Rg, dR_all, ci, Xl)
+
+
+def observation_residuals_obs_minor(cam9_all, X_all, cam_idx, pt_idx, uv_t, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye: bool = True):
+    """Obs-minor residuals (2, N) — see _obs_minor_lane_math."""
+    xc, H, (s, k1, k2, ifx, *_rest) = _obs_minor_lane_math(
+        cam9_all, X_all, cam_idx, pt_idx, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye
+    )
+    u, v = H(xc[0], xc[1], xc[2], s, k1, k2)
+    return jnp.stack([(u - uv_t[0]) * ifx, (v - uv_t[1]) * ifx])
+
+
+def observation_blocks_obs_minor(cam9_all, X_all, cam_idx, pt_idx, uv_t, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye: bool = True):
+    """Obs-minor Jacobian blocks: r (2,N), Jc (2,9,N), Jp (2,3,N).
+
+    Same quantities as observation_jacobian_blocks transposed — built
+    entirely from (N,) lane math (see _obs_minor_lane_math)."""
+    xc, H, (s, k1, k2, ifx, Rg, dR_all, ci, Xl) = _obs_minor_lane_math(
+        cam9_all, X_all, cam_idx, pt_idx, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye
+    )
+    (u, v), lin = jax.linearize(H, xc[0], xc[1], xc[2], s, k1, k2)
+    ru = (u - uv_t[0]) * ifx
+    rv = (v - uv_t[1]) * ifx
+    zer = jnp.zeros_like(s)
+    one = jnp.ones_like(s)
+    Jb = []
+    for b in range(6):
+        tangents = [zer] * 6
+        tangents[b] = one
+        du, dv = lin(*tangents)
+        Jb.append((du * ifx, dv * ifx))
+    # chain rule: dxc/drvec_k = (dR/drvec_k) @ X, unrolled over lanes
+    dxc_drv = [
+        [sum(dR_all[:, i, j, k][ci] * Xl[j] for j in range(3)) for k in range(3)]
+        for i in range(3)
+    ]
+    cols = [
+        (
+            sum(Jb[i][0] * dxc_drv[i][k] for i in range(3)),
+            sum(Jb[i][1] * dxc_drv[i][k] for i in range(3)),
+        )
+        for k in range(3)
+    ]
+    cols += Jb  # tvec (= d/dxc), then s, k1, k2
+    pcols = [
+        (
+            sum(Jb[i][0] * Rg[i][k] for i in range(3)),
+            sum(Jb[i][1] * Rg[i][k] for i in range(3)),
+        )
+        for k in range(3)
+    ]
+    r = jnp.stack([ru, rv])  # (2,N)
+    Jc = jnp.stack([jnp.stack([c[0] for c in cols]), jnp.stack([c[1] for c in cols])])  # (2,9,N)
+    Jp = jnp.stack([jnp.stack([c[0] for c in pcols]), jnp.stack([c[1] for c in pcols])])  # (2,3,N)
+    return r, Jc, Jp
+
+
 def dense_observation_residuals(cam9_all, X_all, uv_t, K0_all, dist0_all, fisheye_all, inv_fx_all, any_fisheye: bool = True):
     """Residuals in the DENSE observation layout, POINT-MINOR.
 

@@ -46,8 +46,10 @@ from caliscope_tpu.ops.reprojection import (
     constraint_jacobian_blocks,
     dense_observation_jacobian_blocks,
     dense_observation_residuals,
+    observation_blocks_obs_minor,
     observation_jacobian_blocks,
     observation_residuals,
+    observation_residuals_obs_minor,
     constraint_residuals,
     robust_weights_and_cost,
 )
@@ -443,10 +445,16 @@ def _masked_blocks_dense(problem: BADenseProblem, cam9, X, loss: str, f_scale: f
     return r, w_obs, Jc, Jp, rq, qidx, Jq, cost_obs + cost_con
 
 
-def _masked_blocks(problem, cam9, X, loss: str, f_scale: float):
-    """Residuals, IRLS weights, Jacobian blocks and total robust cost."""
+def _masked_blocks(problem, cam9, X, loss: str, f_scale: float, obs_minor: bool = False):
+    """Residuals, IRLS weights, Jacobian blocks and total robust cost.
+
+    obs_minor: sparse problems on a single placement use the obs-minor
+    layout (r (2,N), Jc (2,9,N), Jp (2,3,N) — see the obs-minor section
+    above); the row-major layout remains for meshes and external callers."""
     if isinstance(problem, BADenseProblem):
         return _masked_blocks_dense(problem, cam9, X, loss, f_scale)
+    if obs_minor:
+        return _masked_blocks_obs_minor(problem, cam9, X, loss, f_scale)
     r, Jc, Jp = observation_jacobian_blocks(
         cam9, X, problem.cam_idx, problem.pt_idx, problem.uv,
         problem.K0, problem.dist0, problem.fisheye, problem.inv_fx,
@@ -466,7 +474,173 @@ def _masked_blocks(problem, cam9, X, loss: str, f_scale: float):
     return r, w_obs, Jc, Jp, rq, qidx, Jq, cost_obs + cost_con
 
 
-def _cost_only(problem, cam9, X, loss: str, f_scale: float):
+# ---------------------------------------------------------------------------
+# Obs-minor sparse path (single placement)
+#
+# Round-5 finding (v5e, canonical scale): the row-major sparse tensors
+# (N, 2, 9) / (N, 2, 3) are physically tiled (8, 128) over their MINOR dims,
+# inflating every read/write ~14-57x; the whole unbaked sparse iteration
+# measured 83 ms of which ~29 ms was the blocks stage alone. This path keeps
+# every per-observation tensor OBS-MINOR — r (2, N), Jc (2, 9, N),
+# Jp (2, 3, N), d_p (3, 3, P) — so the long axis rides the 128-lane tile dim
+# exactly like the dense layout's point-minor storage. Per-observation math
+# is flat (N,)-lane arithmetic (ops/reprojection.py::observation_blocks_
+# obs_minor); point reductions are ONE sorted segment_sum of an (N, 12)
+# payload; the Schur coupling lands directly in the dense path's point-minor
+# (C, 9, 3, P) layout so the explicit-Schur solve SHARES the dense code.
+# Unbaked full iteration: 83 -> ~13 ms. Used when mesh is None (the sharded
+# sparse path keeps the row-major layout whose leading axis GSPMD shards).
+# ---------------------------------------------------------------------------
+
+
+def _free_t(problem, ci, dt):
+    """Per-observation free-parameter mask, obs-minor (9, N)."""
+    return jnp.stack([problem.param_free[:, k].astype(dt)[ci] for k in range(N_CAM_PARAMS)])
+
+
+def _masked_blocks_obs_minor(problem: BAProblem, cam9, X, loss: str, f_scale: float):
+    """Obs-minor residuals/weights/blocks: r (2,N), w (2,N), Jc (2,9,N),
+    Jp (2,3,N)."""
+    uv_t = problem.uv.T  # loop-invariant: XLA hoists it out of the LM loop
+    r, Jc, Jp = observation_blocks_obs_minor(
+        cam9, X, problem.cam_idx, problem.pt_idx, uv_t,
+        problem.K0, problem.dist0, problem.fisheye, problem.inv_fx,
+        problem.any_fisheye,
+    )
+    m = problem.obs_mask[None, :]  # (1,N)
+    r = jnp.where(m, r, 0.0)
+    free = _free_t(problem, problem.cam_idx, r.dtype)  # (9,N)
+    Jc = jnp.where(m[:, None, :], Jc, 0.0) * free[None, :, :]
+    Jp = jnp.where(m[:, None, :], Jp, 0.0)
+    w_obs, cost_obs = robust_weights_and_cost((r**2).reshape(-1), loss, f_scale)
+    w_obs = w_obs.reshape(r.shape)
+    rq, qidx, Jq, cost_con = _constraint_blocks(problem, X, r.dtype)
+    return r, w_obs, Jc, Jp, rq, qidx, Jq, cost_obs + cost_con
+
+
+def _cost_only_obs_minor(problem: BAProblem, cam9, X, loss: str, f_scale: float):
+    r = observation_residuals_obs_minor(
+        cam9, X, problem.cam_idx, problem.pt_idx, problem.uv.T,
+        problem.K0, problem.dist0, problem.fisheye, problem.inv_fx,
+        problem.any_fisheye,
+    )
+    r = jnp.where(problem.obs_mask[None, :], r, 0.0)
+    _, cost_obs = robust_weights_and_cost((r**2).reshape(-1), loss, f_scale)
+    if problem.n_constraints:
+        rq = constraint_residuals(
+            X, problem.con_pa_idx, problem.con_pa_w, problem.con_pb_idx,
+            problem.con_pb_w, problem.con_target, problem.con_weight,
+        )
+        return cost_obs + 0.5 * jnp.sum(rq**2)
+    return cost_obs
+
+
+def _constraint_grad_diag_pminor(problem, qidx, Jq, rq, g_p, d_p_t):
+    """Constraint folds + unobserved-point pinning for the obs-minor path
+    (d_p carried point-minor (3,3,P); g_p stays (P,3))."""
+    if problem.n_constraints:
+        flat_idx = qidx.reshape(-1)
+        g_p = g_p.at[flat_idx].add((Jq * rq[:, None, None]).reshape(-1, 3))
+        dq = jnp.einsum("qki,qkj->qkij", Jq, Jq).reshape(-1, 3, 3)
+        d_p_t = d_p_t.at[:, :, flat_idx].add(dq.transpose(1, 2, 0))
+    pinned = (d_p_t[0, 0] + d_p_t[1, 1] + d_p_t[2, 2]) == 0
+    d_p_t = d_p_t + pinned[None, None, :] * jnp.eye(3, dtype=d_p_t.dtype)[:, :, None]
+    return g_p, d_p_t
+
+
+def _gradient_and_diag_obs_minor(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points):
+    """g/diag from obs-minor blocks. Returns (g_c (C,9), g_p (P,3),
+    d_c (C,9,9), d_p_t (3,3,P))."""
+    C = problem.n_cameras
+    dt = r.dtype
+    wr = w * r  # (2,N)
+    OC = (problem.cam_idx[None, :] == jnp.arange(C, dtype=problem.cam_idx.dtype)[:, None]).astype(dt)  # (C,N)
+    t9 = Jc[0] * wr[0][None, :] + Jc[1] * wr[1][None, :]  # (9,N)
+    g_c = jax.lax.dot_general(t9, OC, (((1,), (1,)), ((), ())), preferred_element_type=dt).T  # (C,9)
+    U0 = Jc[0] * w[0][None, :]
+    U1 = Jc[1] * w[1][None, :]
+    d_c = jax.lax.dot_general(U0 * OC[:, None, :], Jc[0], (((2,), (1,)), ((), ())), preferred_element_type=dt) + \
+        jax.lax.dot_general(U1 * OC[:, None, :], Jc[1], (((2,), (1,)), ((), ())), preferred_element_type=dt)  # (C,9,9)
+    gp_t = Jp[0] * wr[0][None, :] + Jp[1] * wr[1][None, :]  # (3,N)
+    dp_rows = [
+        Jp[0, i] * w[0] * Jp[0, j] + Jp[1, i] * w[1] * Jp[1, j]
+        for i in range(3)
+        for j in range(3)
+    ]
+    payload = jnp.concatenate([gp_t, jnp.stack(dp_rows)]).T  # (N,12)
+    seg = jax.ops.segment_sum(payload, problem.pt_idx, n_points, indices_are_sorted=True)  # (P,12)
+    g_p = seg[:, :3]
+    d_p_t = seg[:, 3:].T.reshape(3, 3, n_points)
+    g_p, d_p_t = _constraint_grad_diag_pminor(problem, qidx, Jq, rq, g_p, d_p_t)
+    return g_c, g_p, d_c, d_p_t
+
+
+def _hessian_matvec_obs_minor(problem, w, Jc, Jp, qidx, Jq, vc, vp):
+    """(H v) from obs-minor blocks."""
+    C = problem.n_cameras
+    P = vp.shape[0]
+    dt = vc.dtype
+    ci, pi = problem.cam_idx, problem.pt_idx
+    vcg = [vc[:, i][ci] for i in range(N_CAM_PARAMS)]  # 9 x (N,)
+    vpg = [vp[:, k][pi] for k in range(3)]
+    Jv = [
+        sum(Jc[rr, i] * vcg[i] for i in range(N_CAM_PARAMS))
+        + sum(Jp[rr, k] * vpg[k] for k in range(3))
+        for rr in range(2)
+    ]
+    wJv = [w[rr] * Jv[rr] for rr in range(2)]
+    OC = (ci[None, :] == jnp.arange(C, dtype=ci.dtype)[:, None]).astype(dt)  # (C,N)
+    tc = jnp.stack([sum(Jc[rr, i] * wJv[rr] for rr in range(2)) for i in range(N_CAM_PARAMS)])  # (9,N)
+    out_c = jax.lax.dot_general(tc, OC, (((1,), (1,)), ((), ())), preferred_element_type=dt).T
+    tp = jnp.stack([sum(Jp[rr, k] * wJv[rr] for rr in range(2)) for k in range(3)]).T  # (N,3)
+    out_p = jax.ops.segment_sum(tp, pi, P, indices_are_sorted=True)
+    if problem.n_constraints:
+        zq = jnp.einsum("qkj,qkj->q", Jq, vp[qidx])
+        out_p = out_p.at[qidx.reshape(-1)].add((Jq * zq[:, None, None]).reshape(-1, 3))
+    return out_c, out_p
+
+
+def _schur_factors_obs_minor(problem, w, Jc, Jp, g_c, g_p, d_c, d_p_t, lam):
+    """Schur factors from obs-minor blocks, emitted in the dense path's
+    POINT-MINOR layout (G (C,9,3,P), Hpp_inv (3,3,P)) so _schur_apply's
+    pminor branch is shared."""
+    C = problem.n_cameras
+    P = g_p.shape[0]
+    dt = g_c.dtype
+    free_c = problem.param_free.astype(dt)
+    A_cc = _damped_A_cc(problem, d_c, lam)
+    # coupling: 27 lane rows -> ONE sorted segment_sum keyed (pt*C + cam)
+    # (make_problem's row order keeps it sorted) -> point-minor transpose
+    g_rows = [
+        Jc[0, i] * w[0] * Jp[0, k] + Jc[1, i] * w[1] * Jp[1, k]
+        for i in range(N_CAM_PARAMS)
+        for k in range(3)
+    ]
+    seg_pc = problem.pt_idx.astype(jnp.int32) * C + problem.cam_idx.astype(jnp.int32)
+    Gseg = jax.ops.segment_sum(jnp.stack(g_rows).T, seg_pc, C * P, indices_are_sorted=True)  # (P*C,27)
+    G = Gseg.reshape(P, C, N_CAM_PARAMS, 3).transpose(1, 2, 3, 0)  # (C,9,3,P)
+    diag_t = jnp.maximum(jnp.stack([d_p_t[0, 0], d_p_t[1, 1], d_p_t[2, 2]]), 1e-12)
+    eye_t = jnp.eye(3, dtype=dt)[:, :, None]
+    Hpp_t = d_p_t + lam * diag_t[:, None, :] * eye_t + 1e-12 * eye_t
+    Hpp_inv_t = _inv3x3_pminor(Hpp_t)
+    Y = jnp.stack(
+        [sum(G[:, :, j, :] * Hpp_inv_t[j, k][None, None, :] for j in range(3)) for k in range(3)],
+        axis=2,
+    )  # (C,9,3,P)
+    n_cp = C * N_CAM_PARAMS
+    S = -jax.lax.dot_general(
+        Y.reshape(n_cp, -1), G.reshape(n_cp, -1), (((1,), (1,)), ((), ())),
+        preferred_element_type=dt,
+    )
+    S = S.reshape(C, N_CAM_PARAMS, C, N_CAM_PARAMS)
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(A_cc)
+    S = S.reshape(n_cp, n_cp)
+    return jax.scipy.linalg.cho_factor(S), G, Y, Hpp_inv_t, free_c
+
+
+def _cost_only(problem, cam9, X, loss: str, f_scale: float, obs_minor: bool = False):
+    if obs_minor and not isinstance(problem, BADenseProblem):
+        return _cost_only_obs_minor(problem, cam9, X, loss, f_scale)
     if isinstance(problem, BADenseProblem):
         r = dense_observation_residuals(
             cam9, X, problem.uv, problem.K0, problem.dist0,
@@ -531,7 +705,7 @@ def _gradient_and_diag_dense(problem, w, r, Jc, Jp, rq, qidx, Jq, mesh=None):
     return g_c, g_p, d_c, d_p
 
 
-def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh=None):
+def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh=None, obs_minor: bool = False):
     """g = J^T W r and diag(J^T W J).
 
     Camera-side reductions go through a one-hot matmul instead of
@@ -539,9 +713,13 @@ def _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh=None)
     the contraction rides the MXU, where a scatter-style segment reduction
     materializes the (N,9,9) outer products through HBM. Point-side
     reductions (n_points segments) stay as segment sums.
+
+    NOTE the obs-minor path returns d_p POINT-MINOR (3,3,P), not (P,3,3).
     """
     if isinstance(problem, BADenseProblem):
         return _gradient_and_diag_dense(problem, w, r, Jc, Jp, rq, qidx, Jq, mesh)
+    if obs_minor:
+        return _gradient_and_diag_obs_minor(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points)
     C = problem.n_cameras
     wr = w * r  # (N,2)
     # (2N, C) one-hot over flattened residual rows; explicit matmul staging
@@ -601,13 +779,20 @@ def _hessian_matvec(problem, w, Jc, Jp, qidx, Jq, vc, vp):
 # ---------------------------------------------------------------------------
 
 
-def _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam):
+def _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, obs_minor: bool = False):
     """Assemble the full damped normal system and Cholesky-solve it.
 
     Exact (matches scipy's subproblem solutions closely); right for
     calibration-scale problems. Dim = 9C + 3P.
     """
     C, P = problem.n_cameras, g_p.shape[0]
+    if obs_minor and not isinstance(problem, BADenseProblem):
+        # small problems only: transpose the obs-minor blocks back to the
+        # row layout this exact assembly consumes (d_p arrives (3,3,P))
+        w = w.T
+        Jc = Jc.transpose(2, 0, 1)
+        Jp = Jp.transpose(2, 0, 1)
+        d_p = d_p.transpose(2, 0, 1)
     if isinstance(problem, BADenseProblem):
         # flatten the point-minor (C,2,*,P) blocks to sparse-style rows with
         # iota indices; the scatter assembly below is layout-agnostic from
@@ -865,7 +1050,7 @@ def _schur_apply(S_cho, G, Y, Hpp_inv, free_c, bc, bp, pminor: bool = False):
 
 
 
-def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, mesh=None):
+def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, mesh=None, obs_minor: bool = False):
     """Implicit (matrix-free) Schur-complement CG on the REDUCED camera
     system: solve S dxc = b with S = A - G Hpp^-1 G^T, where every S-product
     is two passes over the observation axis — the coupling tensor G
@@ -883,7 +1068,8 @@ def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, 
     dt = g_c.dtype
     free_c = problem.param_free.astype(dt)
     diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
-    diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
+    if not (obs_minor and not isinstance(problem, BADenseProblem)):
+        diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
     A_cc = _damped_A_cc(problem, d_c, lam)
     A_inv = jnp.linalg.inv(A_cc)  # (C,9,9) exact block preconditioner
     P_pts = g_p.shape[0]
@@ -906,6 +1092,31 @@ def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, 
             """G v: (P,3) -> (C,9), dense einsums."""
             a = w * jnp.einsum("crjp,pj->crp", Jp, vp)
             return jnp.einsum("crjp,crp->cj", Jc, a)
+
+    elif obs_minor:
+        # obs-minor blocks: Jc (2,9,N), Jp (2,3,N); d_p POINT-MINOR (3,3,P)
+        diag_p_t = jnp.maximum(jnp.stack([d_p[0, 0], d_p[1, 1], d_p[2, 2]]), 1e-12)
+        eye_t = jnp.eye(3, dtype=dt)[:, :, None]
+        Hpp_t = d_p + lam * diag_p_t[:, None, :] * eye_t + 1e-12 * eye_t
+        Hpp_inv_t = _inv3x3_pminor(Hpp_t)
+        ci, pi = problem.cam_idx, problem.pt_idx
+        OC = (ci[None, :] == jnp.arange(C, dtype=ci.dtype)[:, None]).astype(dt)  # (C,N)
+
+        def Hpp_inv_apply(vp):
+            vt = vp.T
+            return sum(Hpp_inv_t[:, j] * vt[j][None, :] for j in range(3)).T
+
+        def G_T(vc):
+            vcg = [vc[:, i][ci] for i in range(N_CAM_PARAMS)]
+            t = [w[rr] * sum(Jc[rr, i] * vcg[i] for i in range(N_CAM_PARAMS)) for rr in range(2)]
+            u = jnp.stack([sum(Jp[rr, k] * t[rr] for rr in range(2)) for k in range(3)]).T  # (N,3)
+            return jax.ops.segment_sum(u, pi, P_pts, indices_are_sorted=True)
+
+        def G(vp):
+            vpg = [vp[:, k][pi] for k in range(3)]
+            a = [w[rr] * sum(Jp[rr, k] * vpg[k] for k in range(3)) for rr in range(2)]
+            tc = jnp.stack([sum(Jc[rr, i] * a[rr] for rr in range(2)) for i in range(N_CAM_PARAMS)])  # (9,N)
+            return jax.lax.dot_general(tc, OC, (((1,), (1,)), ((), ())), preferred_element_type=dt).T
 
     else:
         Hpp = d_p + jax.vmap(jnp.diag)(lam * diag_p) + 1e-12 * jnp.eye(3, dtype=dt)
@@ -971,7 +1182,7 @@ def _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, tol, max_iter, 
     return dxc, dxp
 
 
-def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh=None, pallas_ok=None):
+def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh=None, pallas_ok=None, obs_minor: bool = False):
     """Schur-eliminated solve: exact for the (damped) reprojection system;
     with constraint rows present the Schur solve becomes the preconditioner
     of a short CG on the full system (constraints couple points to points,
@@ -1011,17 +1222,29 @@ def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, 
             gtd = jnp.einsum("crkp,crp->kp", Jp, tmp)  # (3,P)
             return dxc, _pminor_backsub(Hpp_inv_t, bp_t - gtd)
 
-    factors = _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh)
+    sparse_obs_minor = obs_minor and not isinstance(problem, BADenseProblem)
+    if sparse_obs_minor:
+        # d_p arrives POINT-MINOR (3,3,P) here; factors land in the dense
+        # path's pminor layout so _schur_apply is shared
+        factors = _schur_factors_obs_minor(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam)
+    else:
+        factors = _schur_factors(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, mesh)
     S_cho, G, Y, Hpp_inv, free_c = factors
-    pminor = isinstance(problem, BADenseProblem)
+    pminor = isinstance(problem, BADenseProblem) or sparse_obs_minor
     if problem.n_constraints == 0:
         return _schur_apply(S_cho, G, Y, Hpp_inv, free_c, -g_c, -g_p, pminor)
 
     diag_c = jnp.maximum(jax.vmap(jnp.diag)(d_c), 1e-12)
-    diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
+    if sparse_obs_minor:
+        diag_p = jnp.maximum(jnp.stack([d_p[0, 0], d_p[1, 1], d_p[2, 2]]), 1e-12).T  # (P,3)
+    else:
+        diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
 
     def A_mv(vc, vp):
-        hc, hp = _hessian_matvec(problem, w, Jc, Jp, qidx, Jq, vc, vp)
+        if sparse_obs_minor:
+            hc, hp = _hessian_matvec_obs_minor(problem, w, Jc, Jp, qidx, Jq, vc, vp)
+        else:
+            hc, hp = _hessian_matvec(problem, w, Jc, Jp, qidx, Jq, vc, vp)
         hc = hc + lam * diag_c * vc + (1.0 - free_c) * vc
         hp = hp + lam * diag_p * vp
         return hc, hp
@@ -1060,7 +1283,7 @@ def _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, 
     return x[0] * free_c, x[1]
 
 
-def _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, tol, max_iter):
+def _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, tol, max_iter, obs_minor: bool = False):
     """Block-Jacobi preconditioned CG on the damped normal equations.
 
     Matrix-free: each matvec is one pass of gathers + einsums + segment sums
@@ -1072,24 +1295,43 @@ def _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, tol, max_it
     eye9 = jnp.eye(N_CAM_PARAMS, dtype=g_c.dtype)
     eye3 = jnp.eye(3, dtype=g_c.dtype)
     free_c = problem.param_free.astype(g_c.dtype)
+    sparse_obs_minor = obs_minor and not isinstance(problem, BADenseProblem)
 
     diag_c = jax.vmap(jnp.diag)(d_c)
-    diag_p = jax.vmap(jnp.diag)(d_p)
     # damped + frozen-param-regularized block preconditioner
     M_c = d_c + jax.vmap(jnp.diag)(lam * jnp.maximum(diag_c, 1e-12) + jnp.where(problem.param_free, 0.0, 1.0))
-    M_p = d_p + jax.vmap(jnp.diag)(lam * jnp.maximum(diag_p, 1e-12)) + 1e-12 * eye3
     M_c_inv = jnp.linalg.inv(M_c)  # (C,9,9): a handful of blocks, LU is fine
-    M_p_inv = _inv3x3(M_p)
+    if sparse_obs_minor:
+        # d_p arrives POINT-MINOR (3,3,P)
+        diag_p_t = jnp.maximum(jnp.stack([d_p[0, 0], d_p[1, 1], d_p[2, 2]]), 1e-12)
+        diag_p = diag_p_t.T  # (P,3)
+        eye_t = eye3[:, :, None]
+        M_p_inv_t = _inv3x3_pminor(d_p + lam * diag_p_t[:, None, :] * eye_t + 1e-12 * eye_t)
+
+        def M_p_apply(vp):
+            vt = vp.T
+            return sum(M_p_inv_t[:, j] * vt[j][None, :] for j in range(3)).T
+
+    else:
+        diag_p = jax.vmap(jnp.diag)(d_p)
+        M_p = d_p + jax.vmap(jnp.diag)(lam * jnp.maximum(diag_p, 1e-12)) + 1e-12 * eye3
+        M_p_inv = _inv3x3(M_p)
+
+        def M_p_apply(vp):
+            return jnp.einsum("pij,pj->pi", M_p_inv, vp)
 
     def A_mv(vc, vp):
-        hc, hp = _hessian_matvec(problem, w, Jc, Jp, qidx, Jq, vc, vp)
+        if sparse_obs_minor:
+            hc, hp = _hessian_matvec_obs_minor(problem, w, Jc, Jp, qidx, Jq, vc, vp)
+        else:
+            hc, hp = _hessian_matvec(problem, w, Jc, Jp, qidx, Jq, vc, vp)
         # frozen camera params act as identity rows (rhs is zero there)
         hc = hc + lam * jnp.maximum(diag_c, 1e-12) * vc + (1.0 - free_c) * vc
         hp = hp + lam * jnp.maximum(diag_p, 1e-12) * vp
         return hc, hp
 
     def M_inv(vc, vp):
-        return jnp.einsum("cij,cj->ci", M_c_inv, vc), jnp.einsum("pij,pj->pi", M_p_inv, vp)
+        return jnp.einsum("cij,cj->ci", M_c_inv, vc), M_p_apply(vp)
 
     b_c, b_p = -g_c, -g_p
 
@@ -1124,7 +1366,7 @@ def _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, tol, max_it
     return dxc, x[1]
 
 
-def _predicted_decrease(problem, w, Jp, d_c, d_p, g_c, g_p, dxc, dxp, lam):
+def _predicted_decrease(problem, w, Jp, d_c, d_p, g_c, g_p, dxc, dxp, lam, obs_minor: bool = False):
     """Damped-model predicted cost decrease for the LM gain ratio:
     0.5 * (lam * dx^T D dx - g^T dx) with D = diag(J^T W J) floored.
 
@@ -1140,6 +1382,10 @@ def _predicted_decrease(problem, w, Jp, d_c, d_p, g_c, g_p, dxc, dxp, lam):
     cam_term = jnp.sum(dxc * diag_c * dxc)
     if isinstance(problem, BADenseProblem) and problem.n_constraints == 0:
         diag_pt = jnp.einsum("crip,crp->ip", Jp * Jp, w)  # (3,P)
+        pt_term = jnp.sum(dxp.T**2 * diag_pt)
+    elif obs_minor and not isinstance(problem, BADenseProblem):
+        # d_p arrives point-minor (3,3,P): diag extraction is 3 lane rows
+        diag_pt = jnp.maximum(jnp.stack([d_p[0, 0], d_p[1, 1], d_p[2, 2]]), 1e-12)
         pt_term = jnp.sum(dxp.T**2 * diag_pt)
     else:
         diag_p = jnp.maximum(jax.vmap(jnp.diag)(d_p), 1e-12)
@@ -1169,34 +1415,34 @@ class BAResult:
     n_devices: int = 1  # devices the observation axis was sharded over
 
 
-def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, solver_kind, cg_tol, cg_max_iter, init_lambda, mesh=None, pallas_schur=None):
+def _lm_run_impl(problem, cam9_0, X0, lb, ub, *, loss, f_scale, max_iter, ftol, xtol, gtol, solver_kind, cg_tol, cg_max_iter, init_lambda, mesh=None, pallas_schur=None, obs_minor=False):
     n_points = X0.shape[0]
     dt = cam9_0.dtype
-    cost0 = _cost_only(problem, cam9_0, X0, loss, f_scale)
+    cost0 = _cost_only(problem, cam9_0, X0, loss, f_scale, obs_minor)
 
     def clip_params(cam9, X):
         return jnp.clip(cam9, lb, ub), X
 
     def step(state):
         cam9, X, lam, cost, it, done, gnorm = state
-        r, w, Jc, Jp, rq, qidx, Jq, _ = _masked_blocks(problem, cam9, X, loss, f_scale)
-        g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh)
+        r, w, Jc, Jp, rq, qidx, Jq, _ = _masked_blocks(problem, cam9, X, loss, f_scale, obs_minor)
+        g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh, obs_minor)
         gnorm_new = jnp.maximum(jnp.max(jnp.abs(g_c * problem.param_free)), jnp.max(jnp.abs(g_p)))
 
         if solver_kind == "dense":
-            dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam)
+            dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, obs_minor)
         elif solver_kind == "schur":
-            dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh, pallas_schur)
+            dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh, pallas_schur, obs_minor)
         elif solver_kind == "schur_cg":
-            dxc, dxp = _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
+            dxc, dxp = _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh, obs_minor)
         else:
-            dxc, dxp = _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
+            dxc, dxp = _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, obs_minor)
 
         cam9_new, X_new = clip_params(cam9 + dxc, X + dxp)
-        cost_new = _cost_only(problem, cam9_new, X_new, loss, f_scale)
+        cost_new = _cost_only(problem, cam9_new, X_new, loss, f_scale, obs_minor)
 
         # Gain ratio vs the damped-model predicted decrease
-        pred = _predicted_decrease(problem, w, Jp, d_c, d_p, g_c, g_p, dxc, dxp, lam)
+        pred = _predicted_decrease(problem, w, Jp, d_c, d_p, g_c, g_p, dxc, dxp, lam, obs_minor)
         rho = (cost - cost_new) / jnp.maximum(pred, 1e-30)
         accept = cost_new < cost
 
@@ -1242,7 +1488,7 @@ _lm_run = partial(
     static_argnames=(
         "loss", "f_scale", "max_iter", "ftol", "xtol", "gtol",
         "solver_kind", "cg_tol", "cg_max_iter", "init_lambda", "mesh",
-        "pallas_schur",
+        "pallas_schur", "obs_minor",
     ),
 )(_lm_run_impl)
 
@@ -1369,6 +1615,10 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
         init_lambda=config.init_lambda,
         mesh=mesh,
         pallas_schur=pallas_schur,
+        # sparse problems on a single placement take the obs-minor layout
+        # (see the obs-minor section); meshes keep the row layout GSPMD
+        # shards along its leading axis
+        obs_minor=mesh is None and not isinstance(problem, BADenseProblem),
     )
     if config.bake_problem:
         # cache the baked executable ON the problem instance (lifetime-tied:
@@ -1470,21 +1720,22 @@ def lm_iteration(
             "and break the block-diagonal Hpp elimination); use 'schur' or 'cg'."
         )
     n_points = X.shape[0]
-    r, w, Jc, Jp, rq, qidx, Jq, cost = _masked_blocks(problem, cam9, X, loss, f_scale)
-    g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh)
+    obs_minor = mesh is None and not isinstance(problem, BADenseProblem)
+    r, w, Jc, Jp, rq, qidx, Jq, cost = _masked_blocks(problem, cam9, X, loss, f_scale, obs_minor)
+    g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh, obs_minor)
     kind = "dense" if use_dense else solver
     if kind == "dense":
-        dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam)
+        dxc, dxp = _solve_dense(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, obs_minor)
     elif kind == "schur":
-        dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
+        dxc, dxp = _solve_schur(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh, obs_minor=obs_minor)
     elif kind == "schur_cg":
-        dxc, dxp = _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh)
+        dxc, dxp = _solve_schur_cg(problem, w, Jc, Jp, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, mesh, obs_minor)
     else:
-        dxc, dxp = _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter)
+        dxc, dxp = _solve_cg(problem, w, Jc, Jp, qidx, Jq, g_c, g_p, d_c, d_p, lam, cg_tol, cg_max_iter, obs_minor)
     cam9_new, X_new = cam9 + dxc, X + dxp
-    cost_new = _cost_only(problem, cam9_new, X_new, loss, f_scale)
+    cost_new = _cost_only(problem, cam9_new, X_new, loss, f_scale, obs_minor)
     accept = cost_new < cost
-    pred = _predicted_decrease(problem, w, Jp, d_c, d_p, g_c, g_p, dxc, dxp, lam)
+    pred = _predicted_decrease(problem, w, Jp, d_c, d_p, g_c, g_p, dxc, dxp, lam, obs_minor)
     rho = (cost - cost_new) / jnp.maximum(pred, 1e-30)
     lam_new = jnp.where(accept, lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3), lam * 4.0)
     cam9_out = jnp.where(accept, cam9_new, cam9)
