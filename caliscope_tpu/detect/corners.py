@@ -195,6 +195,116 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
     return jax.vmap(jax.vmap(one))(subs, xy, xi_all, yi_all)
 
 
+def refine_corners_subpix_host(frames: "np.ndarray", xy: "np.ndarray", frame_ids: "np.ndarray", win: int = 5, iters: int = 4, relocalize: bool = False):
+    """Numpy mirror of refine_corners_subpix for HOST-side refinement.
+
+    Used by the two-pass detection scheme (trackers/charuco_tracker.py):
+    the device pipeline runs on downscaled frames to cut host->device
+    bytes ~4x (the e2e bottleneck through a remote link), and the few
+    hundred surviving corner candidates are polished at full resolution
+    here — windows sliced from the frames the host already holds, no
+    second upload. Same saddle iteration as the device path (fixed window,
+    Gaussian recentered on the moving estimate).
+
+    frames: (B, H, W) uint8/float; xy: (V, 2) full-res seeds; frame_ids:
+    (V,) frame index per seed. Returns (V, 2) refined corners.
+    """
+    if len(xy) == 0:
+        return xy.astype(np.float64)
+    B, H, W = frames.shape
+    reach = win + int(np.ceil(iters * 1.5)) + 2
+    WIN = 2 * reach + 2
+    pad = 0  # windows are clipped INSIDE the frame instead of edge-padding:
+    # padding + float-converting the full stack cost ~100 ms per 16-frame
+    # 720p batch, dwarfing the per-window math; candidates live >= 6 px from
+    # the border (NMS border suppression), so a near-border window merely
+    # shifts off-center, which the off-center-seed math handles anyway
+    Hp, Wp = H, W
+    xi = np.clip(np.round(xy[:, 0]).astype(np.int64) - WIN // 2, 0, Wp - WIN)
+    yi = np.clip(np.round(xy[:, 1]).astype(np.int64) - WIN // 2, 0, Hp - WIN)
+    ar = np.arange(WIN)
+    sub = frames[frame_ids[:, None, None], yi[:, None, None] + ar[None, :, None], xi[:, None, None] + ar[None, None, :]].astype(np.float32)
+    if relocalize:
+        # Integer re-seed at the strongest full-res X-corner response
+        # within +-3 px of the seed (a fast 8-point integer-ring port of
+        # chess_corner_response): an approximate seed (e.g. scaled up from
+        # a half-res detection, 2-3 px off) can sit in the wrong saddle
+        # basin, and the saddle iteration then converges to a competing
+        # structure. The search is confined to +-3 px — wider can land on
+        # a NEIGHBORING grid corner in small-square footage, an error the
+        # downstream gates (already passed) cannot catch.
+        V = len(xy)
+        rad = 4  # integer ring radius
+        hr = 3  # relocal half-range
+        m = rad + hr  # patch margin around the 7x7 search grid
+        P15 = 2 * m + 1
+        h = 2 * hr + 1
+        # (V, P15, P15) patch centered on the integer seed, from `sub`
+        sy = np.clip(np.round(xy[:, 1]).astype(np.int64) - yi - m, 0, WIN - P15)
+        sx = np.clip(np.round(xy[:, 0]).astype(np.int64) - xi - m, 0, WIN - P15)
+        ar15 = np.arange(P15)
+        patch = sub[np.arange(V)[:, None, None], sy[:, None, None] + ar15[None, :, None], sx[:, None, None] + ar15[None, None, :]]
+        offs8 = [(4, 0), (3, 3), (0, 4), (-3, 3), (-4, 0), (-3, -3), (0, -4), (3, -3)]
+        rs = [patch[:, rad + oy : rad + oy + h, rad + ox : rad + ox + h] for ox, oy in offs8]
+        ctr = patch[:, rad : rad + h, rad : rad + h]
+        sr = sum(np.abs(rs[i] - rs[i + 4]) for i in range(4))
+        dr = sum(np.abs(rs[i] - rs[(i + 2) % 8]) for i in range(4))
+        mr = np.abs(sum(rs) / 8.0 - ctr) * 2.0
+        resp = np.maximum(dr - sr - mr, 0.0)  # (V, h, h)
+        flat = resp.reshape(V, -1)
+        best = np.argmax(flat, axis=1)
+        has_peak = flat[np.arange(V), best] > 0
+        # patch-grid position -> window coords
+        bx = (best % h) + sx + rad
+        by = (best // h) + sy + rad
+        # re-center each window on the relocated integer seed
+        xi = np.where(has_peak, np.clip(xi + bx - WIN // 2, 0, Wp - WIN), xi)
+        yi = np.where(has_peak, np.clip(yi + by - WIN // 2, 0, Hp - WIN), yi)
+        xy = np.where(
+            has_peak[:, None],
+            np.stack([xi + WIN // 2 - pad, yi + WIN // 2 - pad], axis=1).astype(np.float64),
+            xy,
+        )
+        sub = frames[frame_ids[:, None, None], yi[:, None, None] + ar[None, :, None], xi[:, None, None] + ar[None, None, :]].astype(np.float32)
+    gx = np.zeros_like(sub)
+    gy = np.zeros_like(sub)
+    gx[:, :, 1:-1] = (sub[:, :, 2:] - sub[:, :, :-2]) * 0.5
+    gy[:, 1:-1, :] = (sub[:, 2:, :] - sub[:, :-2, :]) * 0.5
+    V = len(xy)
+    gx = gx.reshape(V, -1)
+    gy = gy.reshape(V, -1)
+    gxx = gx * gx
+    gxy = gx * gy
+    gyy = gy * gy
+    pxw = np.broadcast_to(ar[None, :], (WIN, WIN)).reshape(-1).astype(np.float32)
+    pyw = np.broadcast_to(ar[:, None], (WIN, WIN)).reshape(-1).astype(np.float32)
+    bx_w = gxx * pxw + gxy * pyw
+    by_w = gxy * pxw + gyy * pyw
+    sigma2 = 2.0 * (win / 1.5) ** 2
+    # f32 iteration (the f64 default doubled the numpy traffic and exp
+    # cost for no accuracy the 1e-2-px-scale saddle can use)
+    off = np.stack([xi, yi], axis=1).astype(np.float32) - pad  # window -> image
+    c = xy.astype(np.float32) - off  # (V,2) in window coords
+    for _ in range(iters):
+        dx = pxw[None, :] - c[:, 0:1]
+        dy = pyw[None, :] - c[:, 1:2]
+        w = np.exp(-(dx * dx + dy * dy) / sigma2)
+        w *= (np.abs(dx) <= win + 0.5) & (np.abs(dy) <= win + 0.5)
+        a = np.sum(w * gxx, axis=1)
+        b = np.sum(w * gxy, axis=1)
+        cc = np.sum(w * gyy, axis=1)
+        bx = np.sum(w * bx_w, axis=1)
+        by = np.sum(w * by_w, axis=1)
+        det = a * cc - b * b
+        safe = np.abs(det) > 1e-9
+        inv_det = 1.0 / np.where(safe, det, 1.0)
+        nx = (cc * bx - b * by) * inv_det
+        ny = (a * by - b * bx) * inv_det
+        new = np.where(safe[:, None], np.stack([nx, ny], axis=1), c)
+        c = c + np.clip(new - c, -1.5, 1.5)
+    return (c + off).astype(np.float64)
+
+
 def detect_x_corners_device(images, k_max: int):
     """Full device program: response -> NMS -> subpixel. (B, H, W) uint8 in,
     (xy (B, K, 2), score (B, K), valid (B, K)) out.

@@ -35,7 +35,7 @@ logger = logging.getLogger(__name__)
 
 MIN_MARKERS_FOR_BOARD = 1
 X_CORNER_KMAX = 256
-_RUN_CHUNK = 8  # frames per device dispatch in _run_stack (see its docstring)
+_RUN_CHUNK = 4  # frames per device dispatch in _run_stack (see its docstring)
 
 
 @partial(jax.jit, static_argnames=("n_bits", "k_max", "patch", "min_area", "ccl_iters", "x_kmax", "use_pallas"))
@@ -93,12 +93,69 @@ def _fit_homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray | None:
     return _frame_homography(src, dst)
 
 
+def _downsample2(stack: np.ndarray) -> np.ndarray:
+    """2x2 mean downsample, host-side (keeps the source dtype's range)."""
+    B, H, W = stack.shape
+    h2, w2 = H // 2, W // 2
+    s = stack[:, : h2 * 2, : w2 * 2]
+    acc = (
+        s[:, 0::2, 0::2].astype(np.uint16 if s.dtype == np.uint8 else np.float32)
+        + s[:, 1::2, 0::2]
+        + s[:, 0::2, 1::2]
+        + s[:, 1::2, 1::2]
+    )
+    if stack.dtype == np.uint8:
+        return ((acc + 2) // 4).astype(np.uint8)
+    return (acc / 4.0).astype(stack.dtype)
+
+
+def _prefetched(gen, depth: int = 2):
+    """Run a generator on a background thread with a small buffer: the
+    consumer's host-side work then overlaps the generator's blocking device
+    fetches (numpy and the device runtime release the GIL while waiting)."""
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(END)
+        except BaseException as e:  # forwarded to the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class CharucoTracker(Tracker):
-    def __init__(self, charuco: Charuco, snap_radius_frac: float = 0.35):
+    def __init__(self, charuco: Charuco, snap_radius_frac: float = 0.35, detect_scale: int | str = "auto"):
+        """detect_scale: 1 runs the device pipeline at full resolution;
+        2 runs it on 2x2-mean downsampled frames and polishes the surviving
+        corner candidates at full resolution HOST-side (the frames are
+        already in host memory — no second upload). "auto" picks 2 for
+        frames >= 600 px tall: host->device bytes are the end-to-end
+        bottleneck on remote-attached devices (~4x fewer bytes), and
+        full-res window refinement keeps subpixel accuracy."""
         self.charuco = charuco
         self.snap_radius_frac = snap_radius_frac
+        self.detect_scale = detect_scale
         self._mirror_hint: dict[int, bool] = {}  # cam_id -> saw mirrored last
         self._marker_board_corners = self._compute_marker_board_corners()
+
+    def _scale_for(self, shape) -> int:
+        if self.detect_scale == "auto":
+            return 2 if shape[-2] >= 600 else 1
+        return int(self.detect_scale)
 
     @property
     def name(self) -> str:
@@ -136,15 +193,38 @@ class CharucoTracker(Tracker):
         moves 42 MB/s; even PCIe hosts gain the overlap). Fixed chunking
         also bounds the compiled shapes to (1, H, W) and (CHUNK, H, W)
         per resolution instead of one program per caller batch size."""
+        dets_all: list = [None] * stack.shape[0]
+        cand_all: list = [None] * stack.shape[0]
+        for s, e, dets_list, cand_list in self._run_stack_chunks(stack):
+            dets_all[s:e] = dets_list
+            cand_all[s:e] = cand_list
+        return dets_all, cand_all
+
+    def _run_stack_chunks(self, stack: np.ndarray, scale: int | None = None):
+        """Chunked generator form of _run_stack: ALL chunk uploads and
+        programs are enqueued up front, then each chunk's packed result is
+        fetched and unpacked as the consumer asks for it — the caller's
+        host-side assembly of chunk k thereby overlaps the link transfer +
+        compute of chunks k+1..., which matters wherever the h2d link is
+        the bottleneck. Yields (start, end, dets_list, cand_list)."""
         d = get_dictionary(self.charuco.dictionary)
         B = stack.shape[0]
         if B == 0:
-            return [], []
+            return
+        if scale is None:
+            scale = self._scale_for(stack.shape)
+        # min_area is a POOLED-cell-area threshold; at half resolution the
+        # same physical marker covers 1/4 the pixels
+        min_area = 49 if scale == 1 else 13
         chunk = 1 if B == 1 else _RUN_CHUNK
         use_pallas = jax.default_backend() == "tpu"
         outs = []
         for i in range(0, B, chunk):
+            # per-chunk downsample: chunk k's host prep overlaps the link
+            # transfer of chunks < k (the whole-stack form serialized ~16 ms
+            # of numpy before the first byte moved)
             piece = stack[i : i + chunk]
+            piece = _downsample2(piece) if scale == 2 else piece
             if piece.shape[0] < chunk:
                 piece = np.concatenate(
                     [piece, np.broadcast_to(piece[-1:], (chunk - piece.shape[0], *piece.shape[1:]))]
@@ -152,16 +232,47 @@ class CharucoTracker(Tracker):
             outs.append(
                 _charuco_device_program(
                     jnp.asarray(np.ascontiguousarray(piece)),
-                    d.marker_size, 64, 96, 49, 4, X_CORNER_KMAX, use_pallas,
+                    d.marker_size, 64, 96, min_area, 4, X_CORNER_KMAX, use_pallas,
                 )
             )
-        packed = np.concatenate([jax.device_get(o) for o in outs], axis=0)[:B]
-        quads, cells, valid, xy, xvalid = _unpack_device_program(
-            packed, d.marker_size, 64, X_CORNER_KMAX
-        )
-        dets_list = assemble_marker_detections(quads, cells, valid, d)
-        cand_list = [xy[b][xvalid[b]] for b in range(B)]
-        return dets_list, cand_list
+        for ci_, o in enumerate(outs):
+            s = ci_ * chunk
+            e = min(s + chunk, B)
+            packed = np.asarray(o)[: e - s]
+            quads, cells, valid, xy, xvalid = _unpack_device_program(
+                packed, d.marker_size, 64, X_CORNER_KMAX
+            )
+            if scale == 2:
+                # half-res pixel centers sit at full-res coords 2*x + 0.5.
+                # Candidates stay HALF-RES-ACCURATE here (~1-2 px): the
+                # board assembly's homography/snap gates tolerate that, and
+                # only the few dozen WINNING corners per frame get the
+                # full-res host polish afterwards (_refine_hits) — refining
+                # all K_max candidates cost seconds of numpy per stack.
+                quads = quads * 2.0 + 0.5
+                xy = xy * 2.0 + 0.5
+            dets_list = assemble_marker_detections(quads, cells, valid, d)
+            cand_list = [xy[b][xvalid[b]] for b in range(e - s)]
+            yield s, e, dets_list, cand_list
+
+    @staticmethod
+    def _refine_hits(stack: np.ndarray, hits: list) -> None:
+        """Full-res host polish of the winning corners of one orientation
+        pass. hits: list of [frame_idx_in_stack, kps, img_xy, ...] entries;
+        img_xy is replaced in place with the refined positions
+        (detect/corners.py::refine_corners_subpix_host)."""
+        from caliscope_tpu.detect.corners import refine_corners_subpix_host
+
+        if not hits:
+            return
+        all_xy = np.concatenate([h[2] for h in hits])
+        fids = np.concatenate([np.full(len(h[2]), h[0], np.int64) for h in hits])
+        refined = refine_corners_subpix_host(np.asarray(stack), all_xy, fids, relocalize=True)
+        o = 0
+        for h in hits:
+            n = len(h[2])
+            h[2] = refined[o : o + n]
+            o += n
 
     def _detect_face(self, gray: np.ndarray, dets=None, cand=None):
         """Detect on one orientation. Returns (keypoint_ids, img_xy) or None.
@@ -376,18 +487,34 @@ class CharucoTracker(Tracker):
         # so face selection scores by (surviving consensus markers, corners):
         # the true face keeps its whole marker set, the aliased one keeps 1-2.
         best = None  # (score, mirrored, kps, img_xy)
-        for mirrored in orders:
-            g = np.ascontiguousarray(gray[:, ::-1] if mirrored else gray)
-            dets_list, cand_list = self._run_stack(g[None])
-            result = self._detect_face(g, dets=dets_list[0], cand=cand_list[0])
-            if result is None:
-                continue
-            kps, img_xy, n_markers = result
-            score = (n_markers, len(kps))
-            if best is None or score > best[0]:
-                best = (score, mirrored, kps, img_xy)
-            if n_markers >= 3 and len(kps) >= 0.6 * self.charuco.n_corners:
-                break
+
+        def passes(best, scale):
+            for mirrored in orders:
+                g = np.ascontiguousarray(gray[:, ::-1] if mirrored else gray)
+                dets_all, cand_all = [None], [None]
+                for s, e, dl, cl in self._run_stack_chunks(g[None], scale):
+                    dets_all[s:e] = dl
+                    cand_all[s:e] = cl
+                result = self._detect_face(g, dets=dets_all[0], cand=cand_all[0])
+                if result is None:
+                    continue
+                kps, img_xy, n_markers = result
+                if scale == 2:
+                    hit = [0, kps, img_xy]
+                    self._refine_hits(g[None], [hit])
+                    img_xy = hit[2]
+                score = (n_markers, len(kps))
+                if best is None or score > best[0]:
+                    best = (score, mirrored, kps, img_xy)
+                if self._is_strong(score):
+                    break
+            return best
+
+        scale = self._scale_for(gray.shape)
+        best = passes(best, scale)
+        if scale == 2 and (best is None or not self._is_strong(best[0])):
+            # quality-gated full-res retry — see get_points_batch
+            best = passes(best, 1)
 
         if best is None:
             return PointPacket.empty()
@@ -416,6 +543,54 @@ class CharucoTracker(Tracker):
             obj_loc=obj_loc,
         )
 
+    def _is_strong(self, score) -> bool:
+        """Strong acceptance: enough markers AND most corners recovered —
+        the same criterion that skips the mirror retry."""
+        n_markers, n_kps = score
+        return n_markers >= 3 and n_kps >= 0.6 * self.charuco.n_corners
+
+    def _orientation_passes(self, grays: np.ndarray, frame_ids: list, best: dict, orders, scale: int) -> None:
+        """Run the two-orientation detection over grays[frame_ids] at the
+        given device-pipeline scale, merging (score, mirrored, kps, img_xy)
+        results into `best` keyed by frame id."""
+        pending = list(frame_ids)
+        for mirrored in orders:
+            if not pending:
+                break
+            if not mirrored and len(pending) == grays.shape[0]:
+                stack = grays  # full unmirrored pass: no 10+ MB copy
+            else:
+                stack = grays[pending]
+                if mirrored:
+                    stack = stack[:, :, ::-1]
+                # no shape padding needed here: _run_stack dispatches in
+                # fixed chunks, so a variable-length pending set reuses the
+                # same compiled programs
+                stack = np.ascontiguousarray(stack)
+            still = []
+            # chunk-by-chunk, with the generator's blocking fetches on a
+            # background thread: assembly + refinement of chunk k overlap
+            # the link transfer and device compute of later chunks
+            for s, e, dets_list, cand_list in _prefetched(self._run_stack_chunks(stack, scale)):
+                hits = []  # [j, kps, img_xy, b, n_markers] for this chunk
+                for j in range(s, e):
+                    b = pending[j]
+                    result = self._detect_face(stack[j], dets=dets_list[j - s], cand=cand_list[j - s])
+                    accepted = False
+                    if result is not None:
+                        kps, img_xy, n_markers = result
+                        hits.append([j, kps, img_xy, b, n_markers])
+                        accepted = self._is_strong((n_markers, len(kps)))
+                    if not accepted:
+                        still.append(b)
+                if scale == 2:
+                    self._refine_hits(stack, hits)
+                for j, kps, img_xy, b, n_markers in hits:
+                    score = (n_markers, len(kps))
+                    if b not in best or score > best[b][0]:
+                        best[b] = (score, mirrored, kps, img_xy)
+            pending = still
+
     def get_points_batch(self, frames: np.ndarray, cam_id: int = 0, rotation_count: int = 0) -> list[PointPacket]:
         """Device-batched detection over a (B, H, W[, 3]) frame stack.
 
@@ -437,31 +612,18 @@ class CharucoTracker(Tracker):
         B = grays.shape[0]
         orders = [False, True] if not self._mirror_hint.get(cam_id, False) else [True, False]
         best: dict[int, tuple] = {}
-        pending = list(range(B))
-        for mirrored in orders:
-            if not pending:
-                break
-            stack = grays[pending]
-            if mirrored:
-                stack = stack[:, :, ::-1]
-            # no shape padding needed here: _run_stack dispatches in fixed
-            # chunks, so a variable-length pending set reuses the same
-            # compiled programs
-            stack = np.ascontiguousarray(stack)
-            dets_list, cand_list = self._run_stack(stack)
-            still = []
-            for j, b in enumerate(pending):
-                result = self._detect_face(stack[j], dets=dets_list[j], cand=cand_list[j])
-                accepted = False
-                if result is not None:
-                    kps, img_xy, n_markers = result
-                    score = (n_markers, len(kps))
-                    if b not in best or score > best[b][0]:
-                        best[b] = (score, mirrored, kps, img_xy)
-                    accepted = n_markers >= 3 and len(kps) >= 0.6 * self.charuco.n_corners
-                if not accepted:
-                    still.append(b)
-            pending = still
+        scale = self._scale_for(grays.shape)
+        self._orientation_passes(grays, list(range(B)), best, orders, scale)
+        if scale == 2:
+            # Quality-gated full-res retry: a WEAK half-res result (few
+            # markers / few corners) on a hard view can pass the geometric
+            # gates with misidentified corners — observed on real oblique
+            # footage. Strong detections keep the cheap path; weak or
+            # missing ones re-run at full resolution and the better score
+            # wins.
+            weak = [b for b in range(B) if b not in best or not self._is_strong(best[b][0])]
+            if weak:
+                self._orientation_passes(grays, weak, best, orders, 1)
         packets = []
         for b in range(B):
             if b in best:
