@@ -16,11 +16,32 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Force CPU + x64 for tests even when the ambient environment selects a TPU
 # platform plugin (which overrides JAX_PLATFORMS at import time). Override
-# with CALISCOPE_TPU_TEST_PLATFORM=tpu for on-device runs.
+# with CALISCOPE_TPU_TEST_PLATFORM for on-device runs: "tpu" (or "auto" /
+# "device") PROBES for the working accelerator platform name out of process
+# — the tunneled plugin has registered as "axon" or "tpu" depending on the
+# environment, so the literal value cannot be trusted (pinning
+# jax_platforms="tpu" on an axon image fails with "No ... device found").
 import jax  # noqa: E402
 
 _platform = os.environ.get("CALISCOPE_TPU_TEST_PLATFORM", "cpu")
-jax.config.update("jax_platforms", _platform)
+if _platform in ("tpu", "auto", "device"):
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "_caliscope_device_probe",
+        os.path.join(os.path.dirname(__file__), "..", "caliscope_tpu", "device_probe.py"),
+    )
+    _probe = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_probe)
+    _resolved = _probe.resolve_jax_platform()
+    if _resolved is None:
+        raise RuntimeError(
+            "CALISCOPE_TPU_TEST_PLATFORM requested an accelerator but no "
+            "working backend answered the probe (wedged tunnel?)"
+        )
+    os.environ["JAX_PLATFORMS"] = _resolved
+    _platform = _resolved
+jax.config.update("jax_platforms", _platform or None)
 # x64 only on CPU: TPU has no f64 compute, and x64 mode leaks i64 scalars
 # into Pallas kernels (Mosaic's dynamic_rotate requires i32 shifts) — the
 # production TPU path never enables it either.

@@ -49,7 +49,10 @@ class TestCornerResponseKernel:
     @tpu_only
     @pytest.mark.tpu
     def test_compiled_matches_reference_on_tpu(self, rng):
-        imgs = rng.uniform(0, 255, size=(2, 720, 1280)).astype(np.float32)
+        # small-but-multi-tile input: proving Mosaic lowering correctness
+        # does not need 720p, and the full tpu tier must fit a CI timeout
+        # (at 720p one compiled test ran 8+ minutes through the dev tunnel)
+        imgs = rng.uniform(0, 255, size=(2, 192, 256)).astype(np.float32)
         ref = np.asarray(chess_corner_response(imgs))
         ker = np.asarray(chess_corner_response_pallas(imgs))
         pad = 6
@@ -100,11 +103,11 @@ class TestCornerWindowExtraction:
     def test_compiled_exact_on_tpu(self, rng):
         from caliscope_tpu.detect.pallas_kernels import extract_corner_windows_pallas, extract_windows_pallas
 
-        img, yi, xi, want = self._case(rng, B=4, Hp=748, Wp=1308, K=256)
+        img, yi, xi, want = self._case(rng, B=2, Hp=264, Wp=392, K=64)
         got = np.asarray(extract_corner_windows_pallas(jnp.asarray(img), jnp.asarray(yi), jnp.asarray(xi), 28))
         np.testing.assert_array_equal(got, want)
         # int32 atlas-shaped case (win=64, K=64)
-        B, Hp, Wp, K, win = 4, 1016, 1280, 64, 64
+        B, Hp, Wp, K, win = 2, 264, 392, 16, 64
         atlas = np.random.default_rng(1).integers(0, 2**30, size=(B, Hp, Wp)).astype(np.int32)
         yi2 = np.random.default_rng(2).integers(0, Hp - win, size=(B, K)).astype(np.int32)
         xi2 = np.random.default_rng(3).integers(0, Wp - win, size=(B, K)).astype(np.int32)
@@ -140,7 +143,7 @@ class TestPallasCCL:
     @tpu_only
     @pytest.mark.tpu
     def test_compiled_matches_reference_on_tpu(self, rng):
-        m = rng.uniform(size=(2, 720, 1280)) < 0.35
+        m = rng.uniform(size=(2, 192, 256)) < 0.35
         ref = np.asarray(connected_components(m, n_iters=4))
         ker = np.asarray(connected_components_pallas(m, n_iters=4))
         np.testing.assert_array_equal(ker, ref)
@@ -203,7 +206,7 @@ class TestApproxNMSOnTPU:
         from caliscope_tpu.detect.pallas_kernels import chess_corner_response_pallas
 
         _ch, frames = bench_mod._detect_frames()
-        imgs = jnp.asarray(frames[:4].astype(np.float32))
+        imgs = jnp.asarray(frames[:2].astype(np.float32))
         resp = chess_corner_response_pallas(imgs)
         xy_a, top_a, val_a = nms_corners(resp, 256)
         # exact reference: replicate the suppression host-side, then exact
@@ -285,7 +288,7 @@ class TestPallasSchur:
     def test_compiled_matches_reference_on_tpu(self, rng):
         import caliscope_tpu.solvers.pallas_schur as PS
 
-        Jc, Jp, w, bp = self._blocks(rng, P=4096)
+        Jc, Jp, w, bp = self._blocks(rng, P=1024)
         S1, r1, H1 = PS.schur_s_rhs(Jc, Jp, w, bp, self.LAM)
         S2, r2, H2 = PS.schur_s_rhs_reference(Jc, Jp, w, bp, self.LAM)
         np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), rtol=1e-3, atol=1e-3)
@@ -307,7 +310,7 @@ class TestPallasSchur:
         from caliscope_tpu.synthetic.camera_synthesizer import strip_extrinsics
         from caliscope_tpu.synthetic.factories import default_ring_scene
 
-        scene = default_ring_scene(noise_sigma_px=0.5, n_frames=20)
+        scene = default_ring_scene(noise_sigma_px=0.5, n_frames=12)
         ip = scene.image_points_noisy()
         views = scene.cameras.device_views(posed_only=True)
         id_to_idx = {int(c): i for i, c in enumerate(views.cam_ids)}
@@ -324,7 +327,7 @@ class TestPallasSchur:
         # order differs between the kernel and XLA (sequential tile sums vs
         # XLA's reduction tree), so forced-iteration trajectories drift at
         # float precision; converged optima must agree
-        cfg = BAConfig(max_iter=60, solver="schur")
+        cfg = BAConfig(max_iter=40, solver="schur")
 
         def solve():
             problem = make_dense_problem(
