@@ -29,6 +29,17 @@ logger = logging.getLogger(__name__)
 GEOCALIB_URL = "https://github.com/mprib/caliscope/releases/download/v0.9.0/geocalib_perspective_fields.onnx"
 GEOCALIB_FILENAME = "geocalib_perspective_fields.onnx"
 
+# GeoCalib's fixed preprocessing geometry (reference estimators/vertical.py:
+# NET_SHORT_SIDE/EDGE_MULTIPLE): frames are resized so the short side is 320
+# with both edges multiples of 32 before entering the field network.
+NET_SHORT_SIDE = 320
+EDGE_MULTIPLE = 32
+
+# The four dense outputs the network emits, in the ONNX graph's output
+# order (reference estimators/vertical.py::FIELD_NAMES; the architecture
+# mirror in estimators/geocalib_arch.py emits exactly this contract).
+FIELD_NAMES = ("up_field", "up_confidence", "latitude_field", "latitude_confidence")
+
 
 @dataclass(frozen=True)
 class VerticalEstimate:
