@@ -119,13 +119,30 @@ class CharucoConfigPanel(QWidget):
     def _apply(self) -> None:
         try:
             ch = self._build()
+            # dictionary-pool validation (reference project_setup_view.py::
+            # _render_charuco_or_warn): a grid needing more markers than the
+            # family's largest dictionary holds cannot be rendered
+            from caliscope_tpu.targets.charuco import fit_dictionary_pool
+
+            fit_dictionary_pool(ch.dictionary, ch.n_markers)
             self._render_preview(ch)
         except Exception as e:
             self.error_label.setText(str(e))
+            self._revert_overflow()
             return
         self.error_label.setText("")
         self._charuco = ch
         self.target_changed.emit(ch)
+
+    def _revert_overflow(self) -> None:
+        """Reset the editable fields to the last VALID board (reference
+        _revert_charuco_overflow): the warning stays visible, but the panel
+        never persists or previews an unconstructible configuration."""
+        ch = self._charuco
+        self.rows.setValue(ch.rows)
+        self.columns.setValue(ch.columns)
+        self.dictionary.setCurrentText(ch.dictionary)
+        self.aruco_scale.setValue(ch.aruco_scale)
 
     def _save_png(self) -> None:
         from caliscope_tpu.gui.qt import QFileDialog

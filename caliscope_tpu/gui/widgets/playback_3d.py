@@ -55,6 +55,20 @@ class Playback3DWidget(QWidget):
         self.slider.valueChanged.connect(lambda _v: self.refresh())
         layout.addWidget(self.slider)
 
+        # per-frame scale-error strip beside the slider (reference embeds
+        # distance_sparkline.py next to the playback slider); hover-seeking
+        # on the sparkline drives the slider and vice versa
+        from caliscope_tpu.gui.widgets.distance_sparkline import DistanceSparkline
+
+        self.sparkline = DistanceSparkline()
+        self.sparkline.cursor_moved.connect(self.slider.setValue)
+        layout.addWidget(self.sparkline)
+
+    def set_scale_report(self, report) -> None:
+        """Attach a VolumetricScaleReport to the playback sparkline."""
+        self.sparkline.set_data(report, self._sync_indices)
+        self.sparkline.set_cursor(self.slider.value())
+
     # ---- data ---------------------------------------------------------------
     def set_view_model(self, vm) -> None:
         """Drive playback from a PlaybackViewModel (canonical fixed-size
@@ -108,6 +122,8 @@ class Playback3DWidget(QWidget):
 
     # ---- render ---------------------------------------------------------------
     def refresh(self) -> None:
+        if hasattr(self, "sparkline"):
+            self.sparkline.set_cursor(self.slider.value())
         if self._view_model is not None:
             vm = self._view_model
             sync = self.current_sync_index()

@@ -16,6 +16,7 @@ from caliscope_tpu.gui.qt import (
     QTabWidget,
     QVBoxLayout,
     QWidget,
+    QPushButton,
 )
 from caliscope_tpu.gui.rendering import colorize, to_pixmap
 
@@ -85,7 +86,12 @@ class CalibrationQualityTabs(QTabWidget):
         sl.addWidget(self.scale_summary)
         self.scale_chart = ScaleDetailChart()
         sl.addWidget(self.scale_chart)
+        self.detail_btn = QPushButton("Details…")
+        self.detail_btn.clicked.connect(self.open_scale_detail)
+        sl.addWidget(self.detail_btn)
         self.addTab(scale, "Scale")
+        self._scale_report = None
+        self.scale_dialog = None
 
     def update_from_volume(self, volume) -> None:
         rep = volume.reprojection_report
@@ -116,7 +122,10 @@ class CalibrationQualityTabs(QTabWidget):
             self.rigidity_summary.setText("No constraints in play.")
 
         sr = volume.compute_volumetric_scale_accuracy()
+        self._scale_report = sr
         self.scale_chart.set_report(sr)
+        if self.scale_dialog is not None:
+            self.scale_dialog.set_data(sr, sorted({fe.sync_index for fe in sr.frame_errors}))
         if sr.n_frames_sampled:
             worst = sr.worst_frame
             self.scale_summary.setText(
@@ -127,6 +136,21 @@ class CalibrationQualityTabs(QTabWidget):
             )
         else:
             self.scale_summary.setText("No scale cues (no known-geometry targets observed).")
+
+    def open_scale_detail(self):
+        """Open (or refresh) the standalone scale-accuracy detail dialog
+        (reference scale_detail_dialog.py): expanded chart with axes +
+        summary statistics + the per-frame table."""
+        from caliscope_tpu.gui.widgets.scale_detail_dialog import ScaleDetailDialog
+
+        if self.scale_dialog is None:
+            self.scale_dialog = ScaleDetailDialog(self)
+        if self._scale_report is not None:
+            syncs = sorted({fe.sync_index for fe in self._scale_report.frame_errors})
+            self.scale_dialog.set_data(self._scale_report, syncs)
+        if hasattr(self.scale_dialog, "show"):
+            self.scale_dialog.show()
+        return self.scale_dialog
 
 
 class ScaleDetailChart(QLabel):
