@@ -132,8 +132,11 @@ def _synth_problem():
 def bench_ours(K, dist, rvecs, tvecs, X, cam_idx, pt_idx, uv):
     """Time the full LM solve — ONE jitted lax.while_loop dispatch running
     exactly TIMED_ITERS iterations (ftol/gtol zeroed), end-to-end including
-    the result readback. The entire optimization is a single device program,
-    so per-dispatch host/tunnel latency amortizes to nothing.
+    the result readback (camera blocks + scalars; the world points stay
+    DEVICE-RESIDENT on BAResult, as the production pipeline chains
+    BA->filter->BA on-device — see solvers/bundle.py::BAResult.X). The
+    entire optimization is a single device program, so per-dispatch
+    host/tunnel latency amortizes to nothing.
 
     Two configurations, both reachable through CaptureVolume.optimize():
       - production (HEADLINE): the DENSE (P, C) observation layout with the
