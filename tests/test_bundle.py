@@ -362,3 +362,95 @@ class TestDenseLayout:
         assert sharded.X.shape == (n_pts, 3)
         assert sharded.cost_final == pytest.approx(single.cost_final, rel=1e-8)
         np.testing.assert_allclose(sharded.cam9, single.cam9, atol=1e-8)
+
+
+class TestObsMinorLayout:
+    """The round-5 obs-minor sparse internals vs the row-major reference
+    implementations: block builder, gradient/diag reductions, Hessian
+    matvec, and the full solve routed through the obs-minor path."""
+
+    def _blocks_inputs(self, fisheye_mix=False):
+        scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(n_frames=6)
+        if fisheye_mix:
+            fe = np.zeros(len(views.cam_ids), bool)
+            fe[::2] = True
+            problem = make_problem(cam_idx, pt_idx, ip.img_xy, views.K, views.dist, fe)
+        cam9 = initial_cam9(scene.cameras)
+        return problem, jnp.asarray(cam9, problem.uv.dtype), jnp.asarray(X0, problem.uv.dtype)
+
+    @pytest.mark.parametrize("fisheye_mix", [False, True])
+    def test_obs_minor_blocks_match_row_major(self, fisheye_mix):
+        from caliscope_tpu.ops.reprojection import (
+            observation_blocks_obs_minor,
+            observation_jacobian_blocks,
+            observation_residuals_obs_minor,
+        )
+
+        problem, cam9, X = self._blocks_inputs(fisheye_mix)
+        r0, Jc0, Jp0 = observation_jacobian_blocks(
+            cam9, X, problem.cam_idx, problem.pt_idx, problem.uv,
+            problem.K0, problem.dist0, problem.fisheye, problem.inv_fx, problem.any_fisheye,
+        )
+        r1, Jc1, Jp1 = observation_blocks_obs_minor(
+            cam9, X, problem.cam_idx, problem.pt_idx, problem.uv.T,
+            problem.K0, problem.dist0, problem.fisheye, problem.inv_fx, problem.any_fisheye,
+        )
+        np.testing.assert_allclose(np.asarray(r1.T), np.asarray(r0), rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(Jc1, (2, 0, 1))), np.asarray(Jc0), rtol=1e-7, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(Jp1, (2, 0, 1))), np.asarray(Jp0), rtol=1e-7, atol=1e-9
+        )
+        rr = observation_residuals_obs_minor(
+            cam9, X, problem.cam_idx, problem.pt_idx, problem.uv.T,
+            problem.K0, problem.dist0, problem.fisheye, problem.inv_fx, problem.any_fisheye,
+        )
+        np.testing.assert_allclose(np.asarray(rr), np.asarray(r1), rtol=1e-12, atol=0)
+
+    def test_obs_minor_grad_diag_and_matvec_match(self, rng):
+        from caliscope_tpu.solvers import bundle as B
+
+        problem, cam9, X = self._blocks_inputs()
+        n_points = X.shape[0]
+        r0, w0, Jc0, Jp0, rq, qidx, Jq, cost0 = B._masked_blocks(problem, cam9, X, "soft_l1", 1e-3)
+        r1, w1, Jc1, Jp1, rq1, qidx1, Jq1, cost1 = B._masked_blocks(
+            problem, cam9, X, "soft_l1", 1e-3, obs_minor=True
+        )
+        np.testing.assert_allclose(float(cost1), float(cost0), rtol=1e-10)
+        g_c0, g_p0, d_c0, d_p0 = B._gradient_and_diag(problem, w0, r0, Jc0, Jp0, rq, qidx, Jq, n_points)
+        g_c1, g_p1, d_c1, d_p1 = B._gradient_and_diag(
+            problem, w1, r1, Jc1, Jp1, rq1, qidx1, Jq1, n_points, obs_minor=True
+        )
+        np.testing.assert_allclose(np.asarray(g_c1), np.asarray(g_c0), rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(g_p1), np.asarray(g_p0), rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(d_c1), np.asarray(d_c0), rtol=1e-7, atol=1e-10)
+        # obs-minor carries d_p POINT-MINOR (3,3,P)
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(d_p1, (2, 0, 1))), np.asarray(d_p0), rtol=1e-7, atol=1e-10
+        )
+        vc = jnp.asarray(rng.normal(size=g_c0.shape), g_c0.dtype)
+        vp = jnp.asarray(rng.normal(size=g_p0.shape), g_p0.dtype)
+        hc0, hp0 = B._hessian_matvec(problem, w0, Jc0, Jp0, qidx, Jq, vc, vp)
+        hc1, hp1 = B._hessian_matvec_obs_minor(problem, w1, Jc1, Jp1, qidx1, Jq1, vc, vp)
+        np.testing.assert_allclose(np.asarray(hc1), np.asarray(hc0), rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(hp1), np.asarray(hp0), rtol=1e-7, atol=1e-9)
+
+    @pytest.mark.parametrize("solver", ["schur", "schur_cg", "cg", "dense"])
+    def test_full_solve_obs_minor_matches_row_major(self, solver):
+        """lm_solve single-placement (obs-minor) vs mesh=None forced row
+        layout: same optimum. The row-major arm is obtained by solving on
+        a 1-device mesh, which pins the sharded (row) code path."""
+        import jax
+
+        scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(n_frames=6)
+        cam9 = initial_cam9(scene.cameras)
+        cfg = BAConfig(max_iter=40, solver=solver, shard="never")
+        res_minor = lm_solve(problem, cam9, X0, cfg)
+        if solver in ("schur", "schur_cg"):
+            from caliscope_tpu.parallel.sharded import make_obs_mesh
+
+            mesh = make_obs_mesh(jax.devices("cpu")[:1])
+            res_row = lm_solve(problem, cam9, X0, cfg, mesh=mesh)
+            np.testing.assert_allclose(res_minor.cost_final, res_row.cost_final, rtol=5e-6)
+        assert res_minor.cost_final < res_minor.cost_initial
