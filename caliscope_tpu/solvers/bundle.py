@@ -93,6 +93,14 @@ class BAConfig:
     #   'always' — shard over all devices regardless of size (tests/dryrun)
     shard: str = "auto"
     shard_min_obs: int = 20_000
+    # Sparse-problem observation-MINOR layout (r (2,N), Jc (2,9,N), ...):
+    #   'auto'   — on single-placement ACCELERATOR backends only. The
+    #              layout exists because TPU tiles are (8, 128) over the
+    #              minor dims (row-major (N,2,9) tensors inflate ~57x);
+    #              CPU has no tiling and pays the larger unrolled graph in
+    #              compile time instead (~4x suite-wide, measured round 5)
+    #   'always' / 'never' — force (tests pin both arms explicitly)
+    obs_minor: str = "auto"
 
 
 @dataclass
@@ -1493,6 +1501,18 @@ _lm_run = partial(
 )(_lm_run_impl)
 
 
+def _use_obs_minor(problem, mesh, policy: str = "auto") -> bool:
+    """Whether this solve takes the obs-minor sparse layout (see
+    BAConfig.obs_minor for the policy rationale)."""
+    if isinstance(problem, BADenseProblem) or mesh is not None:
+        return False
+    if policy == "always":
+        return True
+    if policy == "never":
+        return False
+    return jax.default_backend() != "cpu"
+
+
 def _resolve_mesh(problem: BAProblem, config: BAConfig, mesh):
     """Decide the device mesh for this solve (None = single placement)."""
     if mesh is not None:
@@ -1616,9 +1636,9 @@ def lm_solve(problem: BAProblem, cam9_0, X0, config: BAConfig = BAConfig(), mesh
         mesh=mesh,
         pallas_schur=pallas_schur,
         # sparse problems on a single placement take the obs-minor layout
-        # (see the obs-minor section); meshes keep the row layout GSPMD
-        # shards along its leading axis
-        obs_minor=mesh is None and not isinstance(problem, BADenseProblem),
+        # (see the obs-minor section and BAConfig.obs_minor); meshes keep
+        # the row layout GSPMD shards along its leading axis
+        obs_minor=_use_obs_minor(problem, mesh, config.obs_minor),
     )
     if config.bake_problem:
         # cache the baked executable ON the problem instance (lifetime-tied:
@@ -1720,7 +1740,7 @@ def lm_iteration(
             "and break the block-diagonal Hpp elimination); use 'schur' or 'cg'."
         )
     n_points = X.shape[0]
-    obs_minor = mesh is None and not isinstance(problem, BADenseProblem)
+    obs_minor = _use_obs_minor(problem, mesh)
     r, w, Jc, Jp, rq, qidx, Jq, cost = _masked_blocks(problem, cam9, X, loss, f_scale, obs_minor)
     g_c, g_p, d_c, d_p = _gradient_and_diag(problem, w, r, Jc, Jp, rq, qidx, Jq, n_points, mesh, obs_minor)
     kind = "dense" if use_dense else solver

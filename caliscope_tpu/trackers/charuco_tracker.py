@@ -154,6 +154,11 @@ class CharucoTracker(Tracker):
 
     def _scale_for(self, shape) -> int:
         if self.detect_scale == "auto":
+            # the two-pass scheme trades a little host work for 4x fewer
+            # DEVICE-UPLOAD bytes — on a host-local (CPU) backend there is
+            # no transfer to save and full resolution is accuracy-safest
+            if jax.default_backend() == "cpu":
+                return 1
             return 2 if shape[-2] >= 600 else 1
         return int(self.detect_scale)
 

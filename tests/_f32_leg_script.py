@@ -71,7 +71,11 @@ Xb = np.concatenate([X0, np.tile(X0.mean(axis=0), (Pb - X0.shape[0], 1))])
 dense = make_dense_problem(cam_idx, pt_idx, ip.img_xy, views.K, views.dist, views.fisheye, n_points=Pb)
 results["dense"] = lm_solve(dense, cam9, Xb, cfg)
 sparse = make_problem(cam_idx, pt_idx, ip.img_xy, views.K, views.dist, views.fisheye)
-results["sparse"] = lm_solve(sparse, cam9, X0, cfg)
+# force the obs-minor layout (the accelerator production path) so its f32
+# numerics are what this leg pins — "auto" resolves to row-major on CPU
+results["sparse"] = lm_solve(
+    sparse, cam9, X0, BAConfig(max_iter=60, shard="never", obs_minor="always")
+)
 
 for name, res in results.items():
     assert res.cost_final < res.cost_initial, name

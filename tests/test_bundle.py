@@ -445,7 +445,7 @@ class TestObsMinorLayout:
 
         scene, ip, views, cam_idx, pt_idx, X0, problem = _scene_problem(n_frames=6)
         cam9 = initial_cam9(scene.cameras)
-        cfg = BAConfig(max_iter=40, solver=solver, shard="never")
+        cfg = BAConfig(max_iter=40, solver=solver, shard="never", obs_minor="always")
         res_minor = lm_solve(problem, cam9, X0, cfg)
         if solver in ("schur", "schur_cg"):
             from caliscope_tpu.parallel.sharded import make_obs_mesh

@@ -142,6 +142,21 @@ class TestCharucoTracker:
         assert (pkt.object_id == 0).all()
         np.testing.assert_allclose(pkt.obj_loc, ch.object_corners(0)[pkt.keypoint_id])
 
+    def test_two_pass_full_board_detection(self):
+        """detect_scale=2 (the remote-device two-pass: half-res pipeline +
+        full-res host corner polish) must match full-res accuracy on a
+        720p-class frame. Explicit scale: "auto" resolves to 1 on the CPU
+        backend, where there is no upload to save."""
+        ch = Charuco(rows=5, columns=7, square_size_m=0.054)
+        img0, corners_px = self._render_board(ch, px=1100, py=760, margin=60)
+        img, H = _warp(img0, [[120.3, 90.2], [990.7, 130.8], [940.5, 680.9], [150.1, 640.4]], out_size=(1280, 720))
+        gt = _project(H, corners_px)
+        pkt = CharucoTracker(ch, detect_scale=2).get_points(img)
+        assert len(pkt) == ch.n_corners
+        errs = np.array([np.linalg.norm(xy - gt[int(k)]) for k, xy in zip(pkt.keypoint_id, pkt.img_loc)])
+        assert errs.max() < 0.8, errs.max()
+        assert errs.mean() < 0.35
+
     def test_beats_or_matches_cv2_oracle(self):
         ch = Charuco(rows=5, columns=7, square_size_m=0.054)
         img0, corners_px = self._render_board(ch)

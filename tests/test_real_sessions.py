@@ -486,7 +486,8 @@ class TestRealRecordingReconstruction:
 
 
 class TestRealImageryDetection:
-    def test_charuco_detection_matches_reference_extraction_on_real_video(self):
+    @pytest.mark.parametrize("detect_scale", [1, 2])
+    def test_charuco_detection_matches_reference_extraction_on_real_video(self, detect_scale):
         """Real recorded video of an INVERTED charuco board: our tracker must
         find at least the corners the reference's own extraction (cv2)
         committed, at sub-0.5px agreement. Also exercises the reference
@@ -502,7 +503,7 @@ class TestRealImageryDetection:
         assert ch.inverted and ch.dictionary == "DICT_4X4_1000"
         assert ch.square_size_m == pytest.approx(0.054)
         ref = ImagePoints.from_csv(root / "calibration" / "intrinsic" / "CHARUCO" / "xy_CHARUCO.csv")
-        tracker = CharucoTracker(ch)
+        tracker = CharucoTracker(ch, detect_scale=detect_scale)
         cap = cv2.VideoCapture(str(root / "calibration" / "intrinsic" / "cam_0.mp4"))
         try:
             errs, ref_n, our_n = [], 0, 0
