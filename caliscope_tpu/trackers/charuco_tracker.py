@@ -35,7 +35,7 @@ logger = logging.getLogger(__name__)
 
 MIN_MARKERS_FOR_BOARD = 1
 X_CORNER_KMAX = 256
-_RUN_CHUNK = 4  # frames per device dispatch in _run_stack (see its docstring)
+_RUN_CHUNK = 8  # frames per device dispatch in _run_stack (see its docstring)
 
 
 @partial(jax.jit, static_argnames=("n_bits", "k_max", "patch", "min_area", "ccl_iters", "x_kmax", "use_pallas"))
@@ -151,6 +151,8 @@ class CharucoTracker(Tracker):
         self.detect_scale = detect_scale
         self._mirror_hint: dict[int, bool] = {}  # cam_id -> saw mirrored last
         self._marker_board_corners = self._compute_marker_board_corners()
+        self._inner_corners_2d = None  # cached: recomputed board geometry
+        # cost ~0.2 ms per _detect_face call at batch rates
 
     def _scale_for(self, shape) -> int:
         if self.detect_scale == "auto":
@@ -184,7 +186,9 @@ class CharucoTracker(Tracker):
         return out
 
     def _board_inner_corners_2d(self) -> np.ndarray:
-        return self.charuco.chessboard_corners()[:, :2]
+        if self._inner_corners_2d is None:
+            self._inner_corners_2d = self.charuco.chessboard_corners()[:, :2]
+        return self._inner_corners_2d
 
     # ---- detection ----------------------------------------------------------
     def _run_stack(self, stack: np.ndarray):
@@ -402,12 +406,19 @@ class CharucoTracker(Tracker):
         # snapped corners back into the fit and re-projects.
         kps = np.zeros(0, np.int64)
         nearest = None
+        prev_key = None
         for _ in range(3):
             expected = project(H)
             radii = local_radii(expected)
             kps, nearest = snap(expected, radii)
             if len(kps) < 4:
                 break
+            # converged: the snap set (corner -> candidate pairing) is what
+            # the refit consumes; an unchanged set reproduces the same H
+            key = (kps.tobytes(), nearest[kps].tobytes())
+            if key == prev_key:
+                break
+            prev_key = key
             H2 = _fit_homography(
                 np.concatenate([src, inner[kps]]),
                 np.concatenate([dst, cand[nearest[kps]]]),
