@@ -195,7 +195,15 @@ def refine_corners_subpix(images, xy, win: int = 5, iters: int = 4):
     return jax.vmap(jax.vmap(one))(subs, xy, xi_all, yi_all)
 
 
-def refine_corners_subpix_host(frames: "np.ndarray", xy: "np.ndarray", frame_ids: "np.ndarray", win: int = 5, iters: int = 4, relocalize: bool = False):
+def refine_corners_subpix_host(
+    frames: "np.ndarray",
+    xy: "np.ndarray",
+    frame_ids: "np.ndarray",
+    win: int = 5,
+    iters: int = 4,
+    relocalize: bool = False,
+    relocal_range: int = 3,
+):
     """Numpy mirror of refine_corners_subpix for HOST-side refinement.
 
     Used by the two-pass detection scheme (trackers/charuco_tracker.py):
@@ -235,8 +243,9 @@ def refine_corners_subpix_host(frames: "np.ndarray", xy: "np.ndarray", frame_ids
         # downstream gates (already passed) cannot catch.
         V = len(xy)
         rad = 4  # integer ring radius
-        hr = 3  # relocal half-range
-        m = rad + hr  # patch margin around the 7x7 search grid
+        hr = int(relocal_range)  # relocal half-range (coarse-scale callers widen it)
+        assert 2 * (rad + hr) + 1 <= WIN, "relocal_range exceeds the window reach"
+        m = rad + hr  # patch margin around the search grid
         P15 = 2 * m + 1
         h = 2 * hr + 1
         # (V, P15, P15) patch centered on the integer seed, from `sub`
@@ -271,30 +280,31 @@ def refine_corners_subpix_host(frames: "np.ndarray", xy: "np.ndarray", frame_ids
     gx[:, :, 1:-1] = (sub[:, :, 2:] - sub[:, :, :-2]) * 0.5
     gy[:, 1:-1, :] = (sub[:, 2:, :] - sub[:, :-2, :]) * 0.5
     V = len(xy)
-    gx = gx.reshape(V, -1)
-    gy = gy.reshape(V, -1)
+    # Per-window structure tensors, kept (V, WIN, WIN): the Gaussian-x-box
+    # weight is SEPARABLE (w = wy(row) * wx(col)), so each weighted sum
+    # collapses to two small contractions — stats @ wx then · wy — instead
+    # of materializing the (V, WIN^2) weight plane and paying a dense exp
+    # per pixel per iteration (~14x fewer exps, measured ~2x on the polish).
     gxx = gx * gx
     gxy = gx * gy
     gyy = gy * gy
-    pxw = np.broadcast_to(ar[None, :], (WIN, WIN)).reshape(-1).astype(np.float32)
-    pyw = np.broadcast_to(ar[:, None], (WIN, WIN)).reshape(-1).astype(np.float32)
-    bx_w = gxx * pxw + gxy * pyw
-    by_w = gxy * pxw + gyy * pyw
+    arf = ar.astype(np.float32)
+    bx_w = gxx * arf[None, None, :] + gxy * arf[None, :, None]
+    by_w = gxy * arf[None, None, :] + gyy * arf[None, :, None]
+    stats = np.stack([gxx, gxy, gyy, bx_w, by_w], axis=1)  # (V, 5, WIN, WIN)
     sigma2 = 2.0 * (win / 1.5) ** 2
     # f32 iteration (the f64 default doubled the numpy traffic and exp
     # cost for no accuracy the 1e-2-px-scale saddle can use)
     off = np.stack([xi, yi], axis=1).astype(np.float32) - pad  # window -> image
     c = xy.astype(np.float32) - off  # (V,2) in window coords
     for _ in range(iters):
-        dx = pxw[None, :] - c[:, 0:1]
-        dy = pyw[None, :] - c[:, 1:2]
-        w = np.exp(-(dx * dx + dy * dy) / sigma2)
-        w *= (np.abs(dx) <= win + 0.5) & (np.abs(dy) <= win + 0.5)
-        a = np.sum(w * gxx, axis=1)
-        b = np.sum(w * gxy, axis=1)
-        cc = np.sum(w * gyy, axis=1)
-        bx = np.sum(w * bx_w, axis=1)
-        by = np.sum(w * by_w, axis=1)
+        dx = arf[None, :] - c[:, 0:1]  # (V, WIN)
+        dy = arf[None, :] - c[:, 1:2]
+        wx = np.exp(-dx * dx / sigma2) * (np.abs(dx) <= win + 0.5)
+        wy = np.exp(-dy * dy / sigma2) * (np.abs(dy) <= win + 0.5)
+        # (V, 5, WIN, WIN) @ (V, 1, WIN, 1) -> (V, 5, WIN); then · wy -> (V, 5)
+        col = stats @ wx[:, None, :, None]
+        a, b, cc, bx, by = np.einsum("vkr,vr->kv", col[..., 0], wy, optimize=True)
         det = a * cc - b * b
         safe = np.abs(det) > 1e-9
         inv_det = 1.0 / np.where(safe, det, 1.0)

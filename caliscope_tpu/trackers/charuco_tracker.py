@@ -38,9 +38,19 @@ X_CORNER_KMAX = 256
 _RUN_CHUNK = 8  # frames per device dispatch in _run_stack (see its docstring)
 
 
-@partial(jax.jit, static_argnames=("n_bits", "k_max", "patch", "min_area", "ccl_iters", "x_kmax", "use_pallas"))
+@partial(
+    jax.jit, static_argnames=("n_bits", "k_max", "patch", "min_area", "ccl_iters", "x_kmax", "use_pallas", "packed4")
+)
 def _charuco_device_program(
-    images, n_bits: int, k_max: int, patch: int, min_area: int, ccl_iters: int, x_kmax: int, use_pallas: bool
+    images,
+    n_bits: int,
+    k_max: int,
+    patch: int,
+    min_area: int,
+    ccl_iters: int,
+    x_kmax: int,
+    use_pallas: bool,
+    packed4: bool = False,
 ):
     """Markers + X-corners for a whole frame stack as ONE device program.
 
@@ -49,8 +59,21 @@ def _charuco_device_program(
     two detection stages (marker pipeline, X-corner pipeline) must not be
     separate programs. The uint8->float cast also happens on device, halving
     upload bytes vs shipping float32 frames.
+
+    packed4: the input is (B, H, W // 2) uint8 holding two 4-bit pixels per
+    byte (host `_pack4`); unpacked on device back to (B, H, W) gray in
+    0..255. Halves the upload again for the link-bound half-res pass — the
+    stages only need coarse candidates from it (bit decode averages whole
+    cells, X-corner candidates are snapped then re-polished at full res
+    host-side), so 16 gray levels are enough; see CharucoTracker docstring.
     """
-    imgs = images.astype(jnp.float32) if images.dtype != jnp.float32 else images
+    if packed4:
+        hi = (images >> 4).astype(jnp.float32) * 17.0
+        lo = (images & 0xF).astype(jnp.float32) * 17.0
+        B_, H_, W2 = images.shape
+        imgs = jnp.stack([hi, lo], axis=-1).reshape(B_, H_, W2 * 2)
+    else:
+        imgs = images.astype(jnp.float32) if images.dtype != jnp.float32 else images
     quads, cells, valid, _areas = marker_graph(imgs, n_bits, k_max, patch, min_area, ccl_iters)
     xy, _score, xvalid = xcorner_graph(imgs, x_kmax, use_pallas)
     # ONE flat f32 output: fetching a tuple pays the tunnel round-trip per
@@ -86,6 +109,13 @@ def _unpack_device_program(packed: np.ndarray, n_bits: int, k_max: int, x_kmax: 
     return quads, cells, valid, xy, xvalid
 
 
+@jax.jit
+def _concat_chunks(outs):
+    """On-device concat of the chunks' packed outputs so the host pays ONE
+    d2h round trip for the whole stack (see _run_stack_chunks)."""
+    return jnp.concatenate(outs, axis=0)
+
+
 def _fit_homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray | None:
     """Plain-numpy normalized DLT (board plane -> image)."""
     from caliscope_tpu.frame_selector import _frame_homography
@@ -93,20 +123,64 @@ def _fit_homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray | None:
     return _frame_homography(src, dst)
 
 
-def _downsample2(stack: np.ndarray) -> np.ndarray:
-    """2x2 mean downsample, host-side (keeps the source dtype's range)."""
+def _boxsum(stack: np.ndarray, s: int) -> np.ndarray:
+    """u16 s x s box sum via cascaded hand-unrolled 2x2 strided adds.
+
+    A reshape(B, h, s, w, s).sum(axis=(2, 4)) forces a full-size u16 copy
+    with stride-hostile reduction axes (measured 80+ ms per 720p 16-stack
+    at s=4); four strided slice-adds per halving touch the source once and
+    shrink 4x each stage (~15 ms). s in {2, 4}: 255 * 16 fits u16."""
+    assert s in (2, 4) and stack.dtype == np.uint8
     B, H, W = stack.shape
-    h2, w2 = H // 2, W // 2
-    s = stack[:, : h2 * 2, : w2 * 2]
+    hs, ws = H // s, W // s
+    v = stack[:, : hs * s, : ws * s]
     acc = (
-        s[:, 0::2, 0::2].astype(np.uint16 if s.dtype == np.uint8 else np.float32)
-        + s[:, 1::2, 0::2]
-        + s[:, 0::2, 1::2]
-        + s[:, 1::2, 1::2]
+        v[:, 0::2, 0::2].astype(np.uint16)
+        + v[:, 1::2, 0::2]
+        + v[:, 0::2, 1::2]
+        + v[:, 1::2, 1::2]
     )
+    if s == 4:
+        acc = acc[:, 0::2, 0::2] + acc[:, 1::2, 0::2] + acc[:, 0::2, 1::2] + acc[:, 1::2, 1::2]
+    return acc
+
+
+def _downsample(stack: np.ndarray, s: int) -> np.ndarray:
+    """s x s mean downsample, host-side (keeps the source dtype's range)."""
     if stack.dtype == np.uint8:
-        return ((acc + 2) // 4).astype(np.uint8)
-    return (acc / 4.0).astype(stack.dtype)
+        acc = _boxsum(stack, s)
+        return ((acc + s * s // 2) // (s * s)).astype(np.uint8)
+    B, H, W = stack.shape
+    hs, ws = H // s, W // s
+    v = stack[:, : hs * s, : ws * s].reshape(B, hs, s, ws, s)
+    return v.mean(axis=(2, 4)).astype(stack.dtype)
+
+
+def _downsample2(stack: np.ndarray) -> np.ndarray:
+    return _downsample(stack, 2)
+
+
+def _downsample_pack4(stack: np.ndarray, s: int) -> np.ndarray:
+    """Fused s x s-mean downsample + 4-bit pack for uint8 stacks: quantizes
+    straight off the u16 s x s box sum (q = (sum + s^2*8) >> log2(s^2*16)),
+    skipping the intermediate low-res u8 plane's write+read."""
+    acc = _boxsum(stack, s)
+    ws2 = acc.shape[2] // 2 * 2  # low-res width must be even to pack
+    acc = acc[:, :, :ws2]
+    shift = (s * s * 16).bit_length() - 1  # s power of two: exact log2
+    q = np.minimum((acc + s * s * 8) >> shift, 15).astype(np.uint8)
+    return (q[:, :, 0::2] << 4) | q[:, :, 1::2]
+
+
+def _pack4(stack: np.ndarray) -> np.ndarray:
+    """Pack a (B, H, W) uint8 stack into (B, H, W // 2) bytes of two 4-bit
+    pixels (round-to-nearest-16; device unpack maps q -> q * 17). W odd
+    drops the last column — callers only ever pack the even-width half-res
+    plane."""
+    assert stack.dtype == np.uint8
+    w2 = stack.shape[2] // 2
+    q = np.minimum((stack[:, :, : w2 * 2].astype(np.uint16) + 8) >> 4, 15).astype(np.uint8)
+    return (q[:, :, 0::2] << 4) | q[:, :, 1::2]
 
 
 def _prefetched(gen, depth: int = 2):
@@ -138,30 +212,60 @@ def _prefetched(gen, depth: int = 2):
 
 
 class CharucoTracker(Tracker):
-    def __init__(self, charuco: Charuco, snap_radius_frac: float = 0.35, detect_scale: int | str = "auto"):
+    def __init__(
+        self,
+        charuco: Charuco,
+        snap_radius_frac: float = 0.35,
+        detect_scale: int | str = "auto",
+        upload_bits: int | str = "auto",
+    ):
         """detect_scale: 1 runs the device pipeline at full resolution;
         2 runs it on 2x2-mean downsampled frames and polishes the surviving
         corner candidates at full resolution HOST-side (the frames are
         already in host memory — no second upload). "auto" picks 2 for
         frames >= 600 px tall: host->device bytes are the end-to-end
         bottleneck on remote-attached devices (~4x fewer bytes), and
-        full-res window refinement keeps subpixel accuracy."""
+        full-res window refinement keeps subpixel accuracy.
+
+        upload_bits: 8 ships the half-res pass as uint8; 4 packs two
+        4-bit pixels per byte (half the upload again). 16 gray levels are
+        enough for THIS pass — bit decode averages whole cells, quad edges
+        are total-least-squares fits over a band of pixels, and X-corner
+        candidates only seed the snap gates before the full-res host
+        polish; the weak-detection full-res retry (always 8-bit) backstops
+        low-contrast frames. "auto" packs exactly when the half-res pass is
+        active on an accelerator backend (uploads are the bottleneck there;
+        the CPU backend runs full-res uint8)."""
         self.charuco = charuco
         self.snap_radius_frac = snap_radius_frac
         self.detect_scale = detect_scale
+        self.upload_bits = upload_bits
         self._mirror_hint: dict[int, bool] = {}  # cam_id -> saw mirrored last
+        self._scale_hint: dict[int, int] = {}  # cam_id -> promoted coarse scale
         self._marker_board_corners = self._compute_marker_board_corners()
         self._inner_corners_2d = None  # cached: recomputed board geometry
         # cost ~0.2 ms per _detect_face call at batch rates
 
-    def _scale_for(self, shape) -> int:
+    def _scale_for(self, shape, cam_id: int | None = None) -> int:
         if self.detect_scale == "auto":
-            # the two-pass scheme trades a little host work for 4x fewer
+            # the two-pass scheme trades a little host work for 4-16x fewer
             # DEVICE-UPLOAD bytes — on a host-local (CPU) backend there is
-            # no transfer to save and full resolution is accuracy-safest
+            # no transfer to save and full resolution is accuracy-safest.
             if jax.default_backend() == "cpu":
                 return 1
-            return 2 if shape[-2] >= 600 else 1
+            if shape[-2] < 600:
+                return 1
+            # Coarse-to-fine pyramid with a per-camera hint: start at half
+            # resolution; once a camera's detections are consistently STRONG
+            # with large squares (>= _PROMOTE_SQUARE_PX full-res px, i.e.
+            # comfortable bit-cell size at quarter res), later stacks start
+            # at QUARTER resolution. The quality-gated full-res retry
+            # escalates any frame that comes back weak, and a high retry
+            # rate demotes the hint back to 2 — so the fast path can never
+            # cost accuracy, only (rarely) an extra coarse pass.
+            if cam_id is not None and self._scale_hint.get(cam_id) == 4:
+                return 4
+            return 2
         return int(self.detect_scale)
 
     @property
@@ -222,18 +326,42 @@ class CharucoTracker(Tracker):
             return
         if scale is None:
             scale = self._scale_for(stack.shape)
-        # min_area is a POOLED-cell-area threshold; at half resolution the
-        # same physical marker covers 1/4 the pixels
-        min_area = 49 if scale == 1 else 13
-        chunk = 1 if B == 1 else _RUN_CHUNK
+        # min_area is a POOLED-cell-area threshold; at 1/s resolution the
+        # same physical marker covers 1/s^2 the pixels
+        min_area = max(49 // (scale * scale), 3)
+        # chunking exists to overlap the h2d transfer with compute; at the
+        # coarse scales a frame is 4-16x fewer bytes and each extra dispatch
+        # costs ~13 ms of enqueue latency through a remote link, so coarse
+        # passes use double-size chunks
+        chunk = 1 if B == 1 else (_RUN_CHUNK if scale == 1 else 2 * _RUN_CHUNK)
         use_pallas = jax.default_backend() == "tpu"
+        if self.upload_bits == "auto":
+            pack4 = scale >= 2 and jax.default_backend() != "cpu"
+        else:
+            pack4 = int(self.upload_bits) == 4
+        pack4 = pack4 and stack.dtype == np.uint8 and stack.shape[2] % (2 * scale) == 0
         outs = []
         for i in range(0, B, chunk):
             # per-chunk downsample: chunk k's host prep overlaps the link
             # transfer of chunks < k (the whole-stack form serialized ~16 ms
             # of numpy before the first byte moved)
             piece = stack[i : i + chunk]
-            piece = _downsample2(piece) if scale == 2 else piece
+            if scale > 1 and pack4:
+                piece = _downsample_pack4(piece, scale)
+            elif scale > 1:
+                piece = _downsample(piece, scale)
+            elif pack4:
+                piece = _pack4(piece)
+            if scale > 1:
+                # the patch pyramid needs dims divisible by 8 and the Pallas
+                # corner-response kernel slices full-lane (128-wide) slabs;
+                # replicate-pad (edge values add no gradients for the
+                # threshold to bite on). Packed widths count 2 px per byte.
+                wq = (128 if use_pallas else 16) // (2 if pack4 else 1)
+                ph = (-piece.shape[1]) % 16
+                pw = (-piece.shape[2]) % wq
+                if ph or pw:
+                    piece = np.pad(piece, ((0, 0), (0, ph), (0, pw)), mode="edge")
             if piece.shape[0] < chunk:
                 piece = np.concatenate(
                     [piece, np.broadcast_to(piece[-1:], (chunk - piece.shape[0], *piece.shape[1:]))]
@@ -241,42 +369,70 @@ class CharucoTracker(Tracker):
             outs.append(
                 _charuco_device_program(
                     jnp.asarray(np.ascontiguousarray(piece)),
-                    d.marker_size, 64, 96, min_area, 4, X_CORNER_KMAX, use_pallas,
+                    d.marker_size, 64, 96, min_area, 4, X_CORNER_KMAX, use_pallas, pack4,
                 )
             )
-        for ci_, o in enumerate(outs):
-            s = ci_ * chunk
-            e = min(s + chunk, B)
-            packed = np.asarray(o)[: e - s]
-            quads, cells, valid, xy, xvalid = _unpack_device_program(
-                packed, d.marker_size, 64, X_CORNER_KMAX
-            )
-            if scale == 2:
-                # half-res pixel centers sit at full-res coords 2*x + 0.5.
-                # Candidates stay HALF-RES-ACCURATE here (~1-2 px): the
-                # board assembly's homography/snap gates tolerate that, and
-                # only the few dozen WINNING corners per frame get the
-                # full-res host polish afterwards (_refine_hits) — refining
-                # all K_max candidates cost seconds of numpy per stack.
-                quads = quads * 2.0 + 0.5
-                xy = xy * 2.0 + 0.5
-            dets_list = assemble_marker_detections(quads, cells, valid, d)
-            cand_list = [xy[b][xvalid[b]] for b in range(e - s)]
-            yield s, e, dets_list, cand_list
+        # Fetch strategy: each d2h fetch through a remote link is
+        # latency-dominated (~27 ms flat for the ~15 KB/frame packed
+        # buffer). Up to 3 chunks, one on-device concat + ONE fetch beats
+        # per-chunk round trips outright; for longer streams, a 2-thread
+        # pool overlaps fetch k+1's wait with fetch k's (and with the
+        # still-streaming uploads of later chunks) while keeping per-chunk
+        # results flowing to the consumer.
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_chunks = len(outs)
+        pool = fetched = None
+        if n_chunks == 1:
+            fetched = [np.asarray(outs[0])]
+        elif n_chunks <= 3:
+            cat = np.asarray(_concat_chunks(tuple(outs)))
+            fetched = [cat[k * chunk : (k + 1) * chunk] for k in range(n_chunks)]
+        else:
+            pool = ThreadPoolExecutor(max_workers=2)
+            futs = [pool.submit(np.asarray, o) for o in outs]
+        try:
+            for ci_ in range(n_chunks):
+                s = ci_ * chunk
+                e = min(s + chunk, B)
+                packed = (fetched[ci_] if pool is None else futs[ci_].result())[: e - s]
+                quads, cells, valid, xy, xvalid = _unpack_device_program(
+                    packed, d.marker_size, 64, X_CORNER_KMAX
+                )
+                if scale > 1:
+                    # 1/s-res pixel centers sit at full-res coords s*x +
+                    # (s-1)/2. Candidates stay COARSE-ACCURATE here (~s/2
+                    # px): the board assembly's homography/snap gates
+                    # tolerate that, and only the few dozen WINNING corners
+                    # per frame get the full-res host polish afterwards
+                    # (_refine_hits) — refining all K_max candidates cost
+                    # seconds of numpy per stack.
+                    quads = quads * float(scale) + (scale - 1) / 2.0
+                    xy = xy * float(scale) + (scale - 1) / 2.0
+                dets_list = assemble_marker_detections(quads, cells, valid, d)
+                cand_list = [xy[b][xvalid[b]] for b in range(e - s)]
+                yield s, e, dets_list, cand_list
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     @staticmethod
-    def _refine_hits(stack: np.ndarray, hits: list) -> None:
-        """Full-res host polish of the winning corners of one orientation
+    def _refine_hits(stack: np.ndarray, hits: list, scale: int = 2) -> None:
+        """Full-res host polish of the winning corners of one coarse-scale
         pass. hits: list of [frame_idx_in_stack, kps, img_xy, ...] entries;
         img_xy is replaced in place with the refined positions
-        (detect/corners.py::refine_corners_subpix_host)."""
+        (detect/corners.py::refine_corners_subpix_host). The integer
+        re-seed search radius grows with the coarse scale: a 1/s-res
+        candidate lands within ~s/2 px + subpix error of the true corner."""
         from caliscope_tpu.detect.corners import refine_corners_subpix_host
 
         if not hits:
             return
         all_xy = np.concatenate([h[2] for h in hits])
         fids = np.concatenate([np.full(len(h[2]), h[0], np.int64) for h in hits])
-        refined = refine_corners_subpix_host(np.asarray(stack), all_xy, fids, relocalize=True)
+        refined = refine_corners_subpix_host(
+            np.asarray(stack), all_xy, fids, relocalize=True, relocal_range=max(3, scale + 1)
+        )
         o = 0
         for h in hits:
             n = len(h[2])
@@ -491,7 +647,7 @@ class CharucoTracker(Tracker):
     def _detect(self, frame: np.ndarray, cam_id: int = 0, rotation_count: int = 0) -> PointPacket:
         gray = frame if frame.ndim == 2 else frame.mean(axis=2)
         if self.charuco.inverted:
-            gray = 255.0 - gray.astype(np.float32)
+            gray = 255 - gray if gray.dtype == np.uint8 else 255.0 - gray.astype(np.float32)
         # Always try both orientations (reference charuco_tracker.py:56-69):
         # even a flat board is legitimately seen mirrored from behind
         # (translucent paper / print-through), and skipping the flip leaves
@@ -515,9 +671,9 @@ class CharucoTracker(Tracker):
                 if result is None:
                     continue
                 kps, img_xy, n_markers = result
-                if scale == 2:
+                if scale > 1:
                     hit = [0, kps, img_xy]
-                    self._refine_hits(g[None], [hit])
+                    self._refine_hits(g[None], [hit], scale)
                     img_xy = hit[2]
                 score = (n_markers, len(kps))
                 if best is None or score > best[0]:
@@ -526,9 +682,9 @@ class CharucoTracker(Tracker):
                     break
             return best
 
-        scale = self._scale_for(gray.shape)
+        scale = self._scale_for(gray.shape, cam_id)
         best = passes(best, scale)
-        if scale == 2 and (best is None or not self._is_strong(best[0])):
+        if scale > 1 and (best is None or not self._is_strong(best[0])):
             # quality-gated full-res retry — see get_points_batch
             best = passes(best, 1)
 
@@ -599,8 +755,8 @@ class CharucoTracker(Tracker):
                         accepted = self._is_strong((n_markers, len(kps)))
                     if not accepted:
                         still.append(b)
-                if scale == 2:
-                    self._refine_hits(stack, hits)
+                if scale > 1:
+                    self._refine_hits(stack, hits, scale)
                 for j, kps, img_xy, b, n_markers in hits:
                     score = (n_markers, len(kps))
                     if b not in best or score > best[b][0]:
@@ -621,23 +777,29 @@ class CharucoTracker(Tracker):
         frames = np.asarray(frames)
         if frames.ndim == 4:
             frames = frames.mean(axis=3)
-        # Inversion is the only host-side intensity op; otherwise keep the
-        # stack in its source dtype (uint8 halves-to-quarters the upload
-        # bytes vs float32 — the device program casts on chip).
-        grays = 255.0 - frames.astype(np.float32) if self.charuco.inverted else frames
+        # Inversion is the only host-side intensity op; it is EXACT in uint8
+        # (255 - v), so the stack keeps its source dtype — uint8 frames stay
+        # uint8 (quarter the upload bytes of float32, and eligible for the
+        # 4-bit packed upload); the device program casts on chip.
+        if self.charuco.inverted:
+            grays = 255 - frames if frames.dtype == np.uint8 else 255.0 - frames.astype(np.float32)
+        else:
+            grays = frames
         B = grays.shape[0]
         orders = [False, True] if not self._mirror_hint.get(cam_id, False) else [True, False]
         best: dict[int, tuple] = {}
-        scale = self._scale_for(grays.shape)
+        scale = self._scale_for(grays.shape, cam_id)
         self._orientation_passes(grays, list(range(B)), best, orders, scale)
-        if scale == 2:
-            # Quality-gated full-res retry: a WEAK half-res result (few
+        n_weak = 0
+        if scale > 1:
+            # Quality-gated full-res retry: a WEAK coarse-scale result (few
             # markers / few corners) on a hard view can pass the geometric
             # gates with misidentified corners — observed on real oblique
             # footage. Strong detections keep the cheap path; weak or
             # missing ones re-run at full resolution and the better score
             # wins.
             weak = [b for b in range(B) if b not in best or not self._is_strong(best[b][0])]
+            n_weak = len(weak)
             if weak:
                 self._orientation_passes(grays, weak, best, orders, 1)
         packets = []
@@ -649,7 +811,42 @@ class CharucoTracker(Tracker):
         if best:
             n_mirrored = sum(1 for v in best.values() if v[1])
             self._mirror_hint[cam_id] = n_mirrored * 2 > len(best)
+        self._update_scale_hint(cam_id, scale, B, n_weak, best)
         return packets
+
+    _PROMOTE_SQUARE_PX = 64  # full-res px per square: quarter-res bit cells stay >= ~3 px
+
+    def _update_scale_hint(self, cam_id: int, scale: int, B: int, n_weak: int, best: dict) -> None:
+        """Adapt the per-camera coarse-to-fine starting scale from the batch
+        that just finished. Promote 2 -> 4 when nearly every frame was
+        STRONG at the current scale and the detected squares are large
+        enough that quarter-res bit cells stay comfortably sampled; demote
+        4 -> 2 when the full-res retry rate says the coarse pass is wasting
+        work. Only consulted in detect_scale="auto" on accelerator
+        backends (_scale_for)."""
+        if self.detect_scale != "auto" or scale == 1 or B == 0:
+            return
+        if n_weak * 4 > B:  # > 25% needed the full-res retry
+            if scale == 4:
+                self._scale_hint[cam_id] = 2
+            return
+        if scale == 2 and n_weak == 0 and len(best) == B:
+            sq = [self._median_square_px(v[3]) for v in best.values()]
+            sq = [q for q in sq if q is not None]
+            if len(sq) == B and min(sq) >= self._PROMOTE_SQUARE_PX:
+                self._scale_hint[cam_id] = 4
+
+    @staticmethod
+    def _median_square_px(img_xy: np.ndarray) -> float | None:
+        """Median nearest-neighbor distance of detected corners — adjacent
+        chessboard corners are one square apart, so this estimates the
+        square size in full-res pixels."""
+        n = len(img_xy)
+        if n < 4:
+            return None
+        d2 = np.sum((img_xy[:, None, :] - img_xy[None, :, :]) ** 2, axis=-1)
+        np.fill_diagonal(d2, np.inf)
+        return float(np.median(np.sqrt(d2.min(axis=1))))
 
     # ---- metadata -----------------------------------------------------------
     def get_point_name(self, keypoint_id: int) -> str:

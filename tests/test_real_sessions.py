@@ -486,12 +486,17 @@ class TestRealRecordingReconstruction:
 
 
 class TestRealImageryDetection:
-    @pytest.mark.parametrize("detect_scale", [1, 2])
-    def test_charuco_detection_matches_reference_extraction_on_real_video(self, detect_scale):
+    @pytest.mark.parametrize("detect_scale,upload_bits", [(1, 8), (2, 8), (2, 4)])
+    def test_charuco_detection_matches_reference_extraction_on_real_video(self, detect_scale, upload_bits):
         """Real recorded video of an INVERTED charuco board: our tracker must
         find at least the corners the reference's own extraction (cv2)
         committed, at sub-0.5px agreement. Also exercises the reference
-        charuco.toml schema (inches, square_size_override_cm, inverted)."""
+        charuco.toml schema (inches, square_size_override_cm, inverted).
+
+        The (2, 4) case forces the 4-bit packed upload on real low-light
+        footage: the half-res pass must survive 16 gray levels (bit decode
+        averages cells; candidates are re-polished at full res) within the
+        SAME accuracy contract as the 8-bit paths."""
         cv2 = pytest.importorskip("cv2")
 
         from caliscope_tpu.observations import ImagePoints
@@ -503,7 +508,7 @@ class TestRealImageryDetection:
         assert ch.inverted and ch.dictionary == "DICT_4X4_1000"
         assert ch.square_size_m == pytest.approx(0.054)
         ref = ImagePoints.from_csv(root / "calibration" / "intrinsic" / "CHARUCO" / "xy_CHARUCO.csv")
-        tracker = CharucoTracker(ch, detect_scale=detect_scale)
+        tracker = CharucoTracker(ch, detect_scale=detect_scale, upload_bits=upload_bits)
         cap = cv2.VideoCapture(str(root / "calibration" / "intrinsic" / "cam_0.mp4"))
         try:
             errs, ref_n, our_n = [], 0, 0
