@@ -42,26 +42,45 @@ def _frame_homography(obj_xy: np.ndarray, img_xy: np.ndarray) -> np.ndarray | No
         return None
     # normalize for conditioning
     mo, mi = obj_xy.mean(0), img_xy.mean(0)
-    so = np.sqrt(2) / max(np.mean(np.linalg.norm(obj_xy - mo, axis=1)), 1e-9)
-    si = np.sqrt(2) / max(np.mean(np.linalg.norm(img_xy - mi, axis=1)), 1e-9)
-    o = (obj_xy - mo) * so
-    p = (img_xy - mi) * si
-    x, y = o[:, 0], o[:, 1]
-    u, v = p[:, 0], p[:, 1]
-    zero = np.zeros(n)
-    one = np.ones(n)
-    A = np.empty((2 * n, 9))
-    A[0::2] = np.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=1)
-    A[1::2] = np.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=1)
-    # null vector via the 9x9 normal matrix: after normalization the system
-    # is well-conditioned, and eigh of AtA costs O(9^3) vs a full SVD's
-    # O(n * 81) + LAPACK overhead (the homography fit dominated the whole
-    # per-frame host assembly through the 2n x 9 SVD)
-    _, vecs = np.linalg.eigh(A.T @ A)
+    od = obj_xy - mo
+    pd = img_xy - mi
+    so = np.sqrt(2) / max(float(np.sqrt((od * od).sum(1)).mean()), 1e-9)
+    si = np.sqrt(2) / max(float(np.sqrt((pd * pd).sum(1)).mean()), 1e-9)
+    o = od * so
+    p = pd * si
+    # Null vector via the 9x9 normal matrix, assembled BLOCKWISE: with
+    # a = [x, y, 1] per point and DLT rows r1 = [-a, 0, u*a],
+    # r2 = [0, -a, v*a], AtA has the 3x3 block structure
+    #   [[ M,  0, -Mu], [ 0,  M, -Mv], [-Mu', -Mv', Muu+Mvv]]
+    # built from four (n,3)-gemms — no (2n, 9) A is ever materialized.
+    # After normalization the system is well-conditioned, and eigh of the
+    # 9x9 costs O(9^3) vs a full SVD's O(n * 81) + LAPACK overhead (the
+    # homography fit dominates the per-frame host assembly).
+    a = np.empty((n, 3))
+    a[:, :2] = o
+    a[:, 2] = 1.0
+    u = p[:, 0:1]
+    v = p[:, 1:2]
+    au = a * u
+    av = a * v
+    M = a.T @ a
+    Mu = a.T @ au
+    Mv = a.T @ av
+    Muv = au.T @ au + av.T @ av
+    AtA = np.zeros((9, 9))
+    AtA[0:3, 0:3] = M
+    AtA[3:6, 3:6] = M
+    AtA[0:3, 6:9] = -Mu
+    AtA[6:9, 0:3] = -Mu.T
+    AtA[3:6, 6:9] = -Mv
+    AtA[6:9, 3:6] = -Mv.T
+    AtA[6:9, 6:9] = Muv
+    _, vecs = np.linalg.eigh(AtA)
     Hn = vecs[:, 0].reshape(3, 3)
-    Ti = np.array([[si, 0, -si * mi[0]], [0, si, -si * mi[1]], [0, 0, 1]])
+    # denormalize: H = Ti^-1 @ Hn @ To with the similitudes' closed forms
+    Ti_inv = np.array([[1.0 / si, 0, mi[0]], [0, 1.0 / si, mi[1]], [0, 0, 1]])
     To = np.array([[so, 0, -so * mo[0]], [0, so, -so * mo[1]], [0, 0, 1]])
-    H = np.linalg.inv(Ti) @ Hn @ To
+    H = Ti_inv @ Hn @ To
     if abs(H[2, 2]) < 1e-12:
         return None
     return H / H[2, 2]
